@@ -1,0 +1,91 @@
+"""transcripts → documents materialization.
+
+Reference analogue: the collection scan that assigns contiguous internal row
+ids in scan order (splade/datasets/datasets.py:65-98,
+splade/tasks/transformer_evaluator.py:45-53). Here a "document" is one
+conversation: all turns concatenated in stable (conv_id, turn_idx) order.
+
+Scale notes (100 TB / 10^12 turns):
+- The per-conversation aggregation is one shuffle on conv_id — unavoidable
+  and map-side combinable (collect_list of small structs).
+- Dense doc_id assignment avoids the single-partition `row_number() OVER
+  (ORDER BY conv_id)` anti-pattern: we range-partition by conv_id, count
+  rows per partition (cheap second job over the shuffled data), broadcast
+  the cumulative offsets, and add offset + local position per partition —
+  the classic distributed zipWithIndex, all in DataFrame ops + one
+  mapInPandas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def documents_text(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, text): turns joined by '\\n' in turn_idx order.
+
+    array_sort on struct(turn_idx, ...) gives stable per-turn ordering
+    without a sort shuffle; the groupBy is the only exchange.
+    """
+    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    return transcripts.groupBy("conv_id").agg(
+        F.array_join(F.transform(turns, lambda s: s["text"]), "\n").alias("text"),
+        F.count("*").alias("n_turns"),
+    )
+
+
+def assign_doc_ids(docs: DataFrame, partitions: int = 0) -> DataFrame:
+    """Add dense int64 doc_id in ascending conv_id order, distributed.
+
+    Returns (doc_id long, conv_id string, text string, n_turns long).
+    """
+    spark = docs.sparkSession
+    partitions = partitions or docs.sparkSession.sparkContext.defaultParallelism
+    ranged = docs.repartitionByRange(partitions, "conv_id").sortWithinPartitions(
+        "conv_id"
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["c"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    boffsets = spark.sparkContext.broadcast(offsets)
+
+    cols = [c for c in docs.columns]
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = boffsets.value.get(pid, 0)
+            out = pdf.copy()
+            out["doc_id"] = range(base + pos, base + pos + len(pdf))
+            pos += len(pdf)
+            yield out[["doc_id"] + cols]
+
+    schema = "doc_id long, " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    return with_pid.mapInPandas(add_ids, schema=schema)
+
+
+def build_documents(transcripts: DataFrame, partitions: int = 0) -> DataFrame:
+    """Full pipeline: transcripts → (doc_id, conv_id, text, n_turns)."""
+    return assign_doc_ids(documents_text(transcripts), partitions)
+
+
+def doc_map(documents: DataFrame) -> DataFrame:
+    """Internal→external id dim table (reference: doc_ids.pkl,
+    splade/tasks/transformer_evaluator.py:59). Broadcast at emission."""
+    return documents.select("doc_id", "conv_id")
