@@ -56,11 +56,15 @@ def quantization_scale(weights: DataFrame, bits: int = 8) -> float:
 
 
 def quantize(weights: DataFrame, scale: float) -> DataFrame:
-    """Round-trip quantize the weight column (round → dequantize), so the
-    oracle scores on exactly the values the compressed index stores."""
-    return weights.withColumn(
-        "weight", F.round(F.col("weight") * scale) / F.lit(scale)
-    )
+    """Quantize the weight column to the *integer* impact domain
+    (weight ← round(weight·scale), still double-typed but integer-valued).
+
+    Scoring then happens on exact integers (doubles hold integers exactly
+    to 2^53), and ``bm25_topk(..., scale=scale)`` divides the final sum —
+    so the oracle and the compressed engine produce bit-identical scores
+    regardless of float summation order. This mirrors PISA's
+    `--scorer quantized` (efficient_splade_pisa/README.md:35-36)."""
+    return weights.withColumn("weight", F.round(F.col("weight") * scale))
 
 
 def bm25_topk(
@@ -68,20 +72,27 @@ def bm25_topk(
     query_terms: DataFrame,
     k: int = 10,
     threshold: float = 0.0,
+    scale: float | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): exact top-k BM25.
 
     query_terms: (query_id, term_id, qtf) — broadcast (tens of rows/query).
     threshold mirrors the reference's post-score filter
     (splade/tasks/transformer_evaluator.py:109-111; conf threshold key).
+    scale: if the weights were integer-quantized via ``quantize``, pass the
+    same scale — scores are divided back into the BM25 domain after the
+    exact integer sum.
     """
     scored = (
         weights.join(F.broadcast(query_terms), "term_id")
         .groupBy("query_id", "doc_id")
         .agg(F.sum(F.col("qtf") * F.col("weight")).alias("score"))
     )
-    if threshold:
-        scored = scored.filter(F.col("score") > threshold)
+    if scale:
+        scored = scored.withColumn("score", F.col("score") / F.lit(float(scale)))
+    # reference semantics: strictly-greater filter, applied even at 0
+    # (torch.nonzero(scores > threshold), transformer_evaluator.py:109-111)
+    scored = scored.filter(F.col("score") > threshold)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

@@ -1,0 +1,242 @@
+"""Distributed posting-list construction.
+
+Reference analogue: IndexDictOfArray build — append (doc_id, weight) per term
+in ascending doc order (splade/indexing/inverted_index.py:58-67), persisted
+as per-term arrays (:86-88). Spark-native redesign:
+
+- The index is **document-sharded**: shard_id = doc_id mod num_shards. Every
+  shard holds a slice of *every* term's posting list, so (a) any query can be
+  answered per-shard and merged (the classic distributed search layout), and
+  (b) Zipf head terms (posting lists covering >50% of docs — see
+  splade/utils/index_figure.py:21-29) are split across all shards by
+  construction: the groupBy(shard_id, term_id) build shuffle has max group
+  size df/num_shards. This *is* the "salted repartition with explicit skew
+  splitting" of the north star — the salt is the doc shard, and unlike a
+  random salt it never needs a re-merge to restore docID order, because
+  shards partition docID space.
+- Within a (shard, term) group, postings are docID-sorted and cut into
+  128-entry blocks, delta+varint docIDs, u8-quantized weights, integer
+  block_max (codec.py) — one Arrow grouped-map UDF, numpy-vectorized.
+- Output is a parquet table partitioned by shard_id (Iceberg-ready: same
+  layout via `writeTo(...).partitionedBy(shard_id)`), with per-shard
+  checkpoint ledger entries carrying lineage + postings/sec metrics, so a
+  killed build resumes per-partition (the reference's force_new=False reload,
+  inverted_index.py:23-46, is all-or-nothing; ours is per-shard).
+
+At 100 TB the build is one wide shuffle of (doc, term, weight) rows keyed by
+(shard, term); AQE coalesces small shards, and dynamic partition overwrite
+makes per-shard writes idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import BLOCK_SIZE
+from .codec import encode_blocks, quantize_weights
+
+POSTINGS_SCHEMA = (
+    "shard_id int, term_id long, block_id int, first_doc long, last_doc long, "
+    "n int, doc_bytes binary, w_bytes binary, block_max int"
+)
+
+
+def with_shard(weights: DataFrame, num_shards: int) -> DataFrame:
+    return weights.withColumn(
+        "shard_id", F.pmod(F.col("doc_id"), F.lit(num_shards)).cast("int")
+    )
+
+
+def build_postings(
+    weights: DataFrame,
+    scale: float,
+    num_shards: int = 32,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """(doc_id, term_id, weight) → compressed posting blocks.
+
+    One shuffle (groupBy shard,term) + one Arrow grouped-map encode.
+    """
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard_id"].iloc[0])
+        term = int(pdf["term_id"].iloc[0])
+        rows = encode_blocks(
+            pdf["doc_id"].to_numpy(),
+            pdf["weight"].to_numpy(),
+            scale,
+            block_size=block_size,
+        )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "block_id",
+                "first_doc",
+                "last_doc",
+                "n",
+                "doc_bytes",
+                "w_bytes",
+                "block_max_f",
+            ],
+        )
+        out["block_max"] = (out["block_max_f"] * scale).round().astype("int32")
+        out["shard_id"] = shard
+        out["term_id"] = term
+        return out[
+            [
+                "shard_id",
+                "term_id",
+                "block_id",
+                "first_doc",
+                "last_doc",
+                "n",
+                "doc_bytes",
+                "w_bytes",
+                "block_max",
+            ]
+        ]
+
+    sharded = with_shard(weights, num_shards)
+    return sharded.groupBy("shard_id", "term_id").applyInPandas(
+        encode, schema=POSTINGS_SCHEMA
+    )
+
+
+def _ledger_dir(path: str) -> str:
+    return os.path.join(path, "_ledger")
+
+
+def read_ledger(path: str) -> dict[int, dict]:
+    d = _ledger_dir(path)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        if f.startswith("shard-") and f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                entry = json.load(fh)
+            out[int(entry["shard_id"])] = entry
+    return out
+
+
+def _write_ledger_entry(path: str, entry: dict) -> None:
+    d = _ledger_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".shard-{entry['shard_id']:05d}.tmp")
+    dst = os.path.join(d, f"shard-{entry['shard_id']:05d}.json")
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+    os.replace(tmp, dst)  # atomic per-partition commit
+
+
+def build_index(
+    weights: DataFrame,
+    path: str,
+    scale: float,
+    num_shards: int = 32,
+    block_size: int = BLOCK_SIZE,
+    resume: bool = True,
+    lineage: dict | None = None,
+) -> dict:
+    """Resumable sharded index build → parquet at `path`, partitioned by
+    shard_id, plus a per-shard checkpoint ledger with lineage + metrics.
+
+    Returns build metrics {built_shards, skipped_shards, postings, elapsed_s,
+    postings_per_sec}. Re-running after a kill only builds missing shards
+    (idempotent: dynamic partition overwrite replaces partial shard output).
+    """
+    spark = weights.sparkSession
+    done = read_ledger(path) if resume else {}
+    pending = [s for s in range(num_shards) if s not in done]
+    metrics = {
+        "built_shards": len(pending),
+        "skipped_shards": num_shards - len(pending),
+        "postings": 0,
+        "elapsed_s": 0.0,
+        "postings_per_sec": 0.0,
+    }
+    if not pending:
+        return metrics
+
+    t0 = time.time()
+    sharded = with_shard(weights, num_shards)
+    if len(pending) < num_shards:
+        sharded = sharded.filter(F.col("shard_id").isin(pending))
+    postings = build_postings(
+        sharded.select("shard_id", "doc_id", "term_id", "weight"),
+        scale,
+        num_shards=num_shards,
+        block_size=block_size,
+    )
+    (
+        postings.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    elapsed = time.time() - t0
+
+    # per-shard postings counts for ledger metrics (cheap: parquet footer agg)
+    built = spark.read.parquet(path).filter(F.col("shard_id").isin(pending))
+    counts = {
+        int(r["shard_id"]): int(r["p"])
+        for r in built.groupBy("shard_id").agg(F.sum("n").alias("p")).collect()
+    }
+    now = time.time()
+    total = 0
+    for s in pending:
+        p = counts.get(s, 0)
+        total += p
+        _write_ledger_entry(
+            path,
+            {
+                "shard_id": s,
+                "postings": p,
+                "committed_at": now,
+                "build_elapsed_s": elapsed,
+                "postings_per_sec_job": (sum(counts.values()) / elapsed)
+                if elapsed > 0
+                else 0.0,
+                "scale": scale,
+                "num_shards": num_shards,
+                "block_size": block_size,
+                "lineage": lineage or {},
+            },
+        )
+    # index-level metadata (scale is needed to score)
+    meta = {
+        "scale": scale,
+        "num_shards": num_shards,
+        "block_size": block_size,
+        "lineage": lineage or {},
+    }
+    with open(os.path.join(path, "_index_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    metrics.update(
+        postings=total,
+        elapsed_s=elapsed,
+        postings_per_sec=(total / elapsed) if elapsed > 0 else 0.0,
+    )
+    return metrics
+
+
+def read_index_meta(path: str) -> dict:
+    with open(os.path.join(path, "_index_meta.json")) as fh:
+        return json.load(fh)
+
+
+def load_postings(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def index_dist_from_postings(postings: DataFrame) -> DataFrame:
+    """Posting length per term (reference: index_dist.json)."""
+    return postings.groupBy("term_id").agg(F.sum("n").alias("posting_len"))

@@ -1,0 +1,133 @@
+"""Posting-block codec: delta + varint docIDs, u8/u16-quantized weights.
+
+The reference stores raw int32/float32 arrays per term
+(splade/indexing/inverted_index.py:35-41,86-88) and delegates compression to
+PISA's block_simdbp impact-sorted index with block-max WAND metadata
+(efficient_splade_pisa/README.md:28-38). We internalize that layout:
+docID-ascending posting lists cut into fixed-size blocks; per block we store
+(first_doc, count, varint-encoded consecutive-doc deltas, quantized weight
+bytes, block_max over *dequantized* weights) — block_max on the stored
+(quantized) values keeps block-max WAND rank-safe.
+
+Everything is vectorized numpy — these functions run inside Arrow grouped-map
+UDFs on executors; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import BLOCK_SIZE
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized (≤10 passes)."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    lens = np.ones(n, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        mask = tmp >= 128
+        if not mask.any():
+            break
+        tmp[mask] >>= np.uint64(7)
+        lens[mask] += 1
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    out = np.zeros(int(lens.sum()), dtype=np.uint8)
+    max_len = int(lens.max())
+    for i in range(max_len):
+        sel = lens > i
+        byte = (v[sel] >> np.uint64(7 * i)) & np.uint64(0x7F)
+        cont = (lens[sel] > i + 1).astype(np.uint8) << 7
+        out[offsets[sel] + i] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def decode_varint(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes → uint64 array; count inferred from stop bits."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    cont = (b & 0x80) != 0
+    # value index per byte: increments after each stop byte
+    val_id = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(~cont[:-1], out=val_id[1:])
+    n_vals = val_id[-1] + 1
+    starts = np.zeros(n_vals, dtype=np.int64)
+    ends = np.flatnonzero(~cont)
+    starts[1:] = ends[:-1] + 1
+    shift = (np.arange(len(b)) - starts[val_id]).astype(np.uint64) * np.uint64(7)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << shift
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, val_id, contrib)
+    return out
+
+
+def quantize_weights(weights: np.ndarray, scale: float, bits: int = 8) -> np.ndarray:
+    """w → round(w*scale) clipped to [0, 2^bits-1] (u8 by default).
+
+    Matches the reference's Anserini quantization rint(w*Q)
+    (splade/tasks/transformer_evaluator.py:229) with a global scale chosen
+    from the corpus max (PISA --scorer quantized)."""
+    q = np.rint(np.asarray(weights, dtype=np.float64) * scale)
+    hi = float(2**bits - 1)
+    dtype = np.uint8 if bits <= 8 else np.uint16
+    return np.clip(q, 0.0, hi).astype(dtype)
+
+
+def dequantize_weights(q: np.ndarray, scale: float) -> np.ndarray:
+    return q.astype(np.float64) / scale
+
+
+def encode_blocks(
+    doc_ids: np.ndarray,
+    weights: np.ndarray,
+    scale: float,
+    block_size: int = BLOCK_SIZE,
+    bits: int = 8,
+) -> list[tuple[int, int, int, int, bytes, bytes, float]]:
+    """Cut one term's docID-sorted posting list into compressed blocks.
+
+    Returns rows (block_id, first_doc, last_doc, n, doc_bytes, w_bytes,
+    block_max). doc_bytes = varint of consecutive deltas (n-1 values);
+    block_max = max *dequantized* weight so WAND bounds are exact over the
+    values the kernel will score with.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[order]
+    q = quantize_weights(np.asarray(weights)[order], scale, bits)
+    rows = []
+    for b0 in range(0, len(doc_ids), block_size):
+        d = doc_ids[b0 : b0 + block_size]
+        w = q[b0 : b0 + block_size]
+        deltas = np.diff(d).astype(np.uint64)
+        bmax = float(w.max()) / scale if len(w) else 0.0
+        rows.append(
+            (
+                b0 // block_size,
+                int(d[0]),
+                int(d[-1]),
+                len(d),
+                encode_varint(deltas),
+                w.tobytes(),
+                bmax,
+            )
+        )
+    return rows
+
+
+def decode_block(
+    first_doc: int, n: int, doc_bytes: bytes, w_bytes: bytes, scale: float, bits: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_blocks for one block → (doc_ids, dequant weights)."""
+    deltas = decode_varint(doc_bytes)
+    docs = np.empty(n, dtype=np.int64)
+    docs[0] = first_doc
+    if n > 1:
+        docs[1:] = first_doc + np.cumsum(deltas.astype(np.int64))
+    dtype = np.uint8 if bits <= 8 else np.uint16
+    q = np.frombuffer(w_bytes, dtype=dtype)
+    return docs, dequantize_weights(q, scale)

@@ -1,0 +1,204 @@
+"""Document-at-a-time top-k retrieval with block-max pruning.
+
+Reference analogues: the exact numba TAAT kernel
+(splade/tasks/transformer_evaluator.py:92-111) and PISA's block_max_wand over
+a block_simdbp impact index (efficient_splade_pisa/README.md:28-38). Spark
+design: the index is document-sharded (index/build.py), so retrieval is
+
+    postings ⋈ broadcast(query terms)        -- term pruning, broadcast join
+      → groupBy(shard_id).applyInPandas(kernel)  -- per-shard top-k
+      → window top-k merge                    -- global (score desc, doc asc)
+
+The kernel scores in the *integer* quantized-impact domain (exact in int64),
+so per-shard results and the final merge are bit-deterministic and
+rank-identical to the quantized DataFrame oracle (bm25.quantize + bm25_topk).
+
+Block-max pruning, rank-safe by construction: block boundaries of the query's
+terms partition the shard's docID space into elementary intervals; every
+document's *complete* score is confined to one interval. Each interval gets
+an upper bound UB = Σ_t qtf_t · block_max_t(interval). Intervals are
+processed in descending-UB order, decoding only the blocks they overlap, and
+processing stops once UB < θ (the current k-th best integer score) — exactly
+WAND's invariant, at block granularity, fully vectorized (no per-posting
+Python). Skipped intervals' blocks are never decoded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..index.codec import decode_block
+
+CHUNK = 8  # intervals scored per refinement round
+
+
+def _topk_merge(
+    docs: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Keep k best under (score desc, doc asc); exact, vectorized."""
+    if len(docs) > k:
+        order = np.lexsort((docs, -scores))[:k]
+    else:
+        order = np.lexsort((docs, -scores))
+    return docs[order], scores[order]
+
+
+def _score_query_in_shard(
+    terms: list[tuple[int, np.ndarray, np.ndarray, np.ndarray, list]],
+    k: int,
+    theta0: int,
+    scale: float,
+    prune: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """terms: [(qtf, firsts, lasts, bmax_q, block_rows)] per query term
+    present in this shard; block_rows[j] = (first, n, doc_bytes, w_bytes).
+    Returns (doc_ids, int_scores) of the shard-local top-k."""
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+
+    # elementary intervals from all block boundaries
+    bounds = np.unique(
+        np.concatenate(
+            [f for _, f, _, _, _ in terms] + [l + 1 for _, _, l, _, _ in terms]
+        )
+    )
+    m = len(bounds) - 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+
+    # interval upper bounds via range-add of qtf*block_max
+    diff = np.zeros(m + 1, dtype=np.int64)
+    for qtf, firsts, lasts, bmax, _rows in terms:
+        i0 = np.searchsorted(bounds, firsts, side="right") - 1
+        i1 = np.searchsorted(bounds, lasts, side="right") - 1
+        np.add.at(diff, i0, qtf * bmax)
+        np.add.at(diff, i1 + 1, -(qtf * bmax))
+    ub = np.cumsum(diff)[:m]
+
+    order = np.argsort(-ub, kind="stable")
+    top_docs = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.int64)
+    theta = theta0
+    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    pos = 0
+    while pos < m:
+        chunk = order[pos : pos + CHUNK]
+        if prune and len(top_docs) >= k:
+            chunk = chunk[ub[chunk] >= theta]
+            if len(chunk) == 0:
+                break  # all remaining intervals have UB < θ (desc order)
+        elif prune:
+            chunk = chunk[ub[chunk] > theta0]
+            if len(chunk) == 0:
+                break
+        pos += CHUNK
+
+        cand_docs, cand_w = [], []
+        for ti, (qtf, firsts, lasts, _bmax, rows) in enumerate(terms):
+            for ci in chunk:
+                lo, hi = int(bounds[ci]), int(bounds[ci + 1])
+                j0 = int(np.searchsorted(lasts, lo, side="left"))
+                j1 = int(np.searchsorted(firsts, hi, side="left"))
+                for j in range(j0, j1):
+                    key = (ti, j)
+                    blk = decoded.get(key)
+                    if blk is None:
+                        first, n, dbytes, wbytes = rows[j]
+                        d, _ = decode_block(first, n, dbytes, wbytes, scale)
+                        q = np.frombuffer(wbytes, dtype=np.uint8).astype(np.int64)
+                        blk = (d, q)
+                        decoded[key] = blk
+                    d, q = blk
+                    sel = (d >= lo) & (d < hi)
+                    if sel.any():
+                        cand_docs.append(d[sel])
+                        cand_w.append(qtf * q[sel])
+        if not cand_docs:
+            continue
+        cd = np.concatenate(cand_docs)
+        cw = np.concatenate(cand_w)
+        udocs, inv = np.unique(cd, return_inverse=True)
+        uscores = np.zeros(len(udocs), dtype=np.int64)
+        np.add.at(uscores, inv, cw)
+        keep = uscores > theta0
+        top_docs, top_scores = _topk_merge(
+            np.concatenate([top_docs, udocs[keep]]),
+            np.concatenate([top_scores, uscores[keep]]),
+            k,
+        )
+        if len(top_docs) >= k:
+            theta = int(top_scores[-1])
+    return top_docs, top_scores
+
+
+def retrieve(
+    postings: DataFrame,
+    query_terms: DataFrame,
+    scale: float,
+    k: int = 10,
+    threshold: float = 0.0,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k BM25 over a block-compressed sharded index.
+
+    postings: index/build.py layout; query_terms: (query_id, term_id, qtf).
+    Returns (query_id, doc_id, score double, rank int), rank-identical to
+    ``bm25.bm25_topk`` on integer-quantized weights.
+    """
+    spark = postings.sparkSession
+    qpdf = query_terms.select("query_id", "term_id", "qtf").toPandas()
+    bq = spark.sparkContext.broadcast(
+        [
+            (qid, list(zip(g["term_id"].tolist(), g["qtf"].tolist())))
+            for qid, g in qpdf.groupby("query_id")
+        ]
+    )
+    theta0 = int(np.floor(threshold * scale))
+
+    term_ids = qpdf["term_id"].unique().tolist()
+    relevant = postings.filter(F.col("term_id").isin(term_ids))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term_id", "block_id"])
+        by_term: dict[int, tuple] = {}
+        for term_id, g in pdf.groupby("term_id"):
+            rows = list(
+                zip(g["first_doc"], g["n"], g["doc_bytes"], g["w_bytes"])
+            )
+            by_term[int(term_id)] = (
+                g["first_doc"].to_numpy(np.int64),
+                g["last_doc"].to_numpy(np.int64),
+                g["block_max"].to_numpy(np.int64),
+                rows,
+            )
+        out_q, out_d, out_s = [], [], []
+        for qid, qterms in bq.value:
+            terms = [
+                (int(qtf), *by_term[int(t)])
+                for t, qtf in qterms
+                if int(t) in by_term
+            ]
+            docs, scores = _score_query_in_shard(terms, k, theta0, scale, prune)
+            out_q.extend([qid] * len(docs))
+            out_d.extend(docs.tolist())
+            out_s.extend(scores.tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "doc_id": out_d, "score_int": out_s}
+        )
+
+    local = relevant.groupBy("shard_id").applyInPandas(
+        kernel, schema="query_id string, doc_id long, score_int long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_int").desc(), F.col("doc_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("score", F.col("score_int") / F.lit(float(scale)))
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -1,0 +1,108 @@
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from splade_spark.bm25 import bm25_topk, bm25_weights, quantization_scale, quantize
+from splade_spark.fixtures import queries_df
+from splade_spark.index.build import (
+    build_index,
+    index_dist_from_postings,
+    load_postings,
+    read_index_meta,
+    read_ledger,
+)
+from splade_spark.query.wand import retrieve
+from splade_spark.stats import corpus_stats, index_dist
+from splade_spark.tokenize import query_term_freqs, term_freqs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tiny_documents):
+    tf = term_freqs(tiny_documents).cache()
+    n, avgdl = corpus_stats(tf)
+    w = bm25_weights(tf, n, avgdl).cache()
+    scale = quantization_scale(w)
+    return tf, w, scale
+
+
+def test_build_and_ledger(spark, corpus, tmp_path):
+    tf, w, scale = corpus
+    path = str(tmp_path / "idx")
+    m = build_index(w, path, scale, num_shards=8, lineage={"src": "tiny"})
+    assert m["built_shards"] == 8 and m["skipped_shards"] == 0
+    assert m["postings"] == w.count()
+    ledger = read_ledger(path)
+    assert set(ledger) == set(range(8))
+    assert all(e["lineage"]["src"] == "tiny" for e in ledger.values())
+    assert read_index_meta(path)["scale"] == scale
+
+    # resume: no work left
+    m2 = build_index(w, path, scale, num_shards=8)
+    assert m2["built_shards"] == 0 and m2["skipped_shards"] == 8
+
+    # kill/resume: drop 3 shards' ledger entries + data, rebuild only those
+    import os
+
+    for s in [1, 4, 6]:
+        os.remove(os.path.join(path, "_ledger", f"shard-{s:05d}.json"))
+        shutil.rmtree(os.path.join(path, f"shard_id={s}"))
+    m3 = build_index(w, path, scale, num_shards=8)
+    assert m3["built_shards"] == 3 and m3["skipped_shards"] == 5
+    postings = load_postings(spark, path)
+    assert postings.groupBy().agg(F.sum("n")).collect()[0][0] == w.count()
+
+    # index_dist parity: postings-derived == term_freqs-derived
+    a = {r.term_id: r.posting_len for r in index_dist_from_postings(postings).collect()}
+    b = {r.term_id: r.posting_len for r in index_dist(tf).collect()}
+    assert a == b
+
+    # docID-sorted within term: blocks non-overlapping ascending
+    bad = (
+        postings.groupBy("shard_id", "term_id")
+        .agg(
+            F.count("*").alias("nb"),
+            F.expr(
+                "sum(case when last_doc < first_doc then 1 else 0 end)"
+            ).alias("inverted"),
+        )
+        .filter(F.col("inverted") > 0)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_engine_rank_identical_to_oracle(spark, corpus, tmp_path):
+    """The core invariant: block-compressed BMW engine == quantized
+    DataFrame oracle, exactly (ranks and scores), on the fixture query set."""
+    tf, w, scale = corpus
+    path = str(tmp_path / "idx2")
+    build_index(w, path, scale, num_shards=8)
+    postings = load_postings(spark, path).cache()
+    qt = query_term_freqs(queries_df(spark)).cache()
+
+    for k, threshold in [(10, 0.0), (100, 0.0), (5, 2.0)]:
+        oracle = bm25_topk(quantize(w, scale), qt, k=k, threshold=threshold, scale=scale)
+        engine = retrieve(postings, qt, scale, k=k, threshold=threshold)
+        o = [
+            (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in oracle.orderBy("query_id", "rank").collect()
+        ]
+        e = [
+            (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in engine.orderBy("query_id", "rank").collect()
+        ]
+        assert o == e, f"mismatch at k={k} threshold={threshold}"
+
+
+def test_engine_pruned_equals_exact(spark, corpus, tmp_path):
+    tf, w, scale = corpus
+    path = str(tmp_path / "idx3")
+    build_index(w, path, scale, num_shards=4)
+    postings = load_postings(spark, path).cache()
+    qt = query_term_freqs(queries_df(spark))
+    pruned = retrieve(postings, qt, scale, k=20, prune=True)
+    exact = retrieve(postings, qt, scale, k=20, prune=False)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, exact.collect()))
