@@ -1,0 +1,295 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, each with a different cost/recall point at 100 TB:
+
+- exact: hash-groupBy on normalized text — one shuffle, no false positives.
+- n-gram Jaccard: exact set-overlap self-join on shingles — quadratic in
+  per-shingle doc frequency, so hot shingles are dropped (df cap), the
+  standard trick that keeps the join's skew bounded.
+- MinHash + LSH: per-doc signatures banded into buckets; only bucket-mates
+  are verified with exact Jaccard — near-linear candidate generation.
+- SimHash: 64-bit weighted fingerprint, banded for Hamming-≤d candidates.
+
+Signatures are computed JVM-side with higher-order functions where possible
+(no Python for the shingle/minhash path); SimHash uses one Arrow grouped-map
+over (doc, term_id, tf) rows (bit-unpacking in numpy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenize import tokens_col
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def normalized_text(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id): canonical = min id among docs with identical
+    normalized text. Docs equal to their canonical are originals."""
+    norm = df.select(id_col, normalized_text(F.col(text_col)).alias("_norm"))
+    canon = norm.groupBy("_norm").agg(F.min(id_col).alias("canonical_id"))
+    return norm.join(canon, "_norm").select(id_col, "canonical_id")
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one doc (min id) per normalized-text group."""
+    dups = exact_duplicates(df, id_col, text_col)
+    keep = dups.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles_col(text_col, n: int = 3):
+    """array<string> of word n-grams (distinct not applied)."""
+    toks = tokens_col(text_col)
+    return F.when(F.size(toks) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def doc_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        df.select(id_col, F.explode(shingles_col(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    tau: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int = 10000,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with n-gram Jaccard >= tau, a < b.
+
+    Exact (given the df cap): |A∩B| from the shingle self-join,
+    |A∪B| = |A|+|B|-|A∩B|. max_shingle_df drops ubiquitous shingles to
+    bound join skew (at 100 TB this cap is what keeps the op feasible;
+    shingles that common carry no dedup signal anyway).
+    """
+    sh = doc_shingles(df, n, id_col, text_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    sh_f = sh.join(freq.filter(F.col("sdf") <= max_shingle_df), "shingle")
+    a = sh_f.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh_f.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "doc_a")
+                    .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _hash_coeffs(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE31, size=num_hashes).tolist()
+    b = rng.integers(0, MERSENNE31, size=num_hashes).tolist()
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig array<long>): MinHash over word n-gram shingles.
+
+    All JVM-side: shingle → 31-bit base hash (xxhash64 folded into the
+    Mersenne prime so a·h+b never overflows int64), then per hash function
+    min over shingles — nested higher-order functions, no Python, no
+    shuffle beyond the source scan."""
+    a, b = _hash_coeffs(num_hashes, seed)
+    sh = shingles_col(F.col(text_col))
+    if n != 3:
+        sh = shingles_col(F.col(text_col), n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+    sig = F.transform(
+        F.arrays_zip(
+            F.lit(a).alias("a"),
+            F.lit(b).alias("b"),
+        ),
+        lambda ab: F.array_min(
+            F.transform(
+                base,
+                lambda h: F.pmod(ab["a"] * h + ab["b"], F.lit(MERSENNE31)),
+            )
+        ),
+    )
+    empty = F.size(tokens_col(F.col(text_col))) < (n if n != 3 else 3)
+    return df.select(
+        id_col,
+        F.when(empty, F.lit(None)).otherwise(sig).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_a, doc_b): pairs sharing at least one LSH band bucket."""
+    sig_len = F.size("sig")
+    rows_per_band = (sig_len / bands).cast("int")
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    n: int = 3,
+    tau: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates verified with *exact* n-gram Jaccard.
+
+    Output ⊆ ngram_jaccard_pairs output; LSH only bounds the candidate set
+    (recall ≈ 1 - (1 - tau^(h/bands))^bands, tunable)."""
+    sigs = minhash_signatures(df, n, num_hashes, id_col, text_col)
+    cands = minhash_lsh_candidates(sigs, bands, id_col)
+    sh = doc_shingles(df, n, id_col, text_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # verify candidates with exact Jaccard: common shingles per pair
+    a_sh = sh.withColumnRenamed(id_col, "doc_a")
+    b_sh = sh.withColumnRenamed(id_col, "doc_b")
+    common = (
+        cands.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "doc_a")
+                    .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    term_freqs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash long): 64-bit tf-weighted SimHash.
+
+    Input: (doc_id, term_id, tf) — term_id is already a 64-bit hash
+    (xxhash64), so its bits are the per-term random projection. One Arrow
+    grouped-map; bit unpacking vectorized in numpy."""
+
+    def sim(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["term_id"].to_numpy(np.int64).view(np.uint64)
+        tf = pdf["tf"].to_numpy(np.float64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.float64
+        )
+        acc = ((bits * 2 - 1) * tf[:, None]).sum(axis=0)
+        sig = np.uint64(0)
+        for i in np.flatnonzero(acc > 0):
+            sig |= np.uint64(1) << np.uint64(i)
+        return pd.DataFrame(
+            {id_col: [pdf[id_col].iloc[0]], "simhash": [np.int64(sig)]}
+        )
+
+    return term_freqs.groupBy(id_col).applyInPandas(
+        sim, schema=f"{id_col} long, simhash long"
+    )
+
+
+def simhash_near_dup_pairs(
+    signatures: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within max_hamming bits.
+
+    Banding: 4 16-bit bands — any pair with hamming ≤ 3 shares ≥1 exact
+    band (pigeonhole), so candidate generation is a bucket equi-join."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("v"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = signatures.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.v").alias("v")
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "v"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "v"
+    )
+    return (
+        a.join(b, ["band", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,230 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline. Queries are broadcast as a
+  numpy matrix; the corpus streams through a mapInPandas kernel doing one
+  BLAS matmul per Arrow batch with a per-partition top-k, then a global
+  window merge — same partial-topk shape as the retrieval engine.
+- random-hyperplane LSH: the scale path. Sign-bit signatures bucket the
+  corpus; queries probe their own bucket (+ multiprobe neighbors), exact
+  rerank inside buckets. Candidate generation is an equi-join, so it
+  shuffles once and never goes quadratic.
+- cosine near-duplicate pairs: bucket-join + exact verify, for
+  embedding-based dedup of training corpora.
+
+A pure-SQL brute-force variant (explode + join + groupBy) is provided for
+DuckDB oracle parity — same math, all built-ins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEED = 42
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def brute_cosine_topk(
+    embeddings: DataFrame,
+    query_vectors: pd.DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k. query_vectors: pandas (query_id, embedding list).
+
+    Per Arrow batch: one float64 matmul (corpus_batch × queries^T) +
+    argpartition top-k; global merge by window. Total order
+    (cosine desc, vec_id asc)."""
+    spark = embeddings.sparkSession
+    qids = query_vectors["query_id"].tolist()
+    qmat = _normalize(np.array(query_vectors["embedding"].tolist(), dtype=np.float64))
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            sims = mat @ qmat_.T  # (batch, nq)
+            kk = min(k, len(ids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            out = []
+            for qi, qid in enumerate(qids_):
+                rows = top[:, qi]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: ids[rows],
+                            "cosine": sims[rows, qi],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"query_id string, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def cosine_topk_sql(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure-DataFrame exact cosine top-k (oracle-parity path).
+
+    queries: (query_id, embedding). posexplode both sides → join on dim →
+    sum of products / norms. Slower than the BLAS kernel but expressible
+    1:1 in ANSI SQL for the DuckDB cross-check."""
+    e = embeddings.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("i", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    q = queries.select(
+        "query_id", F.posexplode(vec_col).alias("i", "y")
+    ).withColumn("y", F.col("y").cast("double"))
+    enorm = e.groupBy(id_col).agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nx"))
+    qnorm = q.groupBy("query_id").agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("ny"))
+    dots = (
+        e.join(q, "i")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("x") * F.col("y")).alias("dot"))
+    )
+    scored = (
+        dots.join(enorm, id_col)
+        .join(qnorm, "query_id")
+        .withColumn("cosine", F.col("dot") / (F.col("nx") * F.col("ny")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    nbits: int = 16,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> DataFrame:
+    """(id, bucket long): sign-bit signature under seeded random hyperplanes."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, nbits))
+    spark = embeddings.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = bp.value
+        weights = (1 << np.arange(p.shape[1], dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (mat @ p) > 0
+            bucket = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, bucket long"
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_vectors: pd.DataFrame,
+    k: int = 10,
+    nbits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> DataFrame:
+    """ANN: probe the query's LSH bucket and its 1-bit-flip neighbors,
+    exact-rerank candidates. Approximate — recall depends on nbits."""
+    dim = len(query_vectors["embedding"].iloc[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, nbits))
+    qmat = np.array(query_vectors["embedding"].tolist(), dtype=np.float64)
+    qbits = (qmat @ planes) > 0
+    weights = (1 << np.arange(nbits, dtype=np.uint64)).astype(np.uint64)
+    qbuckets = (qbits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+    # multiprobe: own bucket + all 1-bit flips
+    probe = set()
+    for b in qbuckets.tolist():
+        probe.add(b)
+        for i in range(nbits):
+            probe.add(b ^ (1 << i))
+    sigs = hyperplane_signatures(embeddings, nbits, dim, id_col, vec_col, seed)
+    cand_ids = sigs.filter(F.col("bucket").isin(list(probe))).select(id_col)
+    cands = embeddings.join(cand_ids, id_col, "left_semi")
+    return brute_cosine_topk(cands, query_vectors, k, id_col, vec_col)
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    tau: float = 0.95,
+    nbits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> DataFrame:
+    """(id_a, id_b, cosine >= tau): embedding near-duplicate pairs.
+
+    Candidates from shared LSH bucket (high-cosine pairs collide with
+    probability (1 - θ/π)^nbits), verified exactly with a zip_with dot
+    product — JVM-side, no Python in the verify."""
+    sigs = hyperplane_signatures(embeddings, nbits, None, id_col, vec_col, seed)
+    e = embeddings.join(sigs, id_col)
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            dot(F.col("va"), F.col("vb"))
+            / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
+        )
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

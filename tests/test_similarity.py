@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from splade_spark.pipeline.similarity import (
+    brute_cosine_topk,
+    cosine_near_dup_pairs,
+    cosine_topk_sql,
+    hyperplane_signatures,
+    lsh_cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvecs(emb):
+    pdf = emb.orderBy("vec_id").limit(3).toPandas()
+    return pd.DataFrame(
+        {"query_id": [f"v{r.vec_id}" for r in pdf.itertuples()],
+         "embedding": pdf["embedding"].tolist()}
+    )
+
+
+def test_brute_topk_matches_numpy(emb, qvecs):
+    got = brute_cosine_topk(emb, qvecs, k=5).collect()
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    q = np.array(qvecs["embedding"].tolist(), dtype=np.float64)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = mat @ q.T
+    for qi, qid in enumerate(qvecs["query_id"]):
+        order = np.lexsort((ids, -sims[:, qi]))[:5]
+        expected = list(zip(ids[order].tolist(), np.round(sims[order, qi], 9)))
+        mine = sorted(
+            [(r.vec_id, round(r.cosine, 9)) for r in got if r.query_id == qid],
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert mine == expected
+        # self-similarity rank 1 with cosine 1.0
+        assert mine[0][0] == int(qid[1:]) and mine[0][1] == 1.0
+
+
+def test_sql_variant_matches_kernel(emb, qvecs, spark):
+    sql_queries = spark.createDataFrame(qvecs)
+    a = brute_cosine_topk(emb, qvecs, k=5).collect()
+    b = cosine_topk_sql(emb, sql_queries, k=5).collect()
+    ka = sorted((r.query_id, r.rank, r.vec_id, round(r.cosine, 9)) for r in a)
+    kb = sorted((r.query_id, r.rank, r.vec_id, round(r.cosine, 9)) for r in b)
+    assert ka == kb
+
+
+def test_lsh_topk_recall(emb, qvecs):
+    exact = brute_cosine_topk(emb, qvecs, k=5).collect()
+    approx = lsh_cosine_topk(emb, qvecs, k=5, nbits=8).collect()
+    # self-match must always survive (identical vector → identical bucket)
+    for qid in qvecs["query_id"]:
+        a_ids = [r.vec_id for r in approx if r.query_id == qid]
+        assert int(qid[1:]) in a_ids
+    # recall sanity: at least half the exact top-5 found
+    e_set = {(r.query_id, r.vec_id) for r in exact}
+    a_set = {(r.query_id, r.vec_id) for r in approx}
+    assert len(e_set & a_set) >= len(e_set) // 2
+
+
+def test_signatures_deterministic(emb):
+    s1 = {r.vec_id: r.bucket for r in hyperplane_signatures(emb, nbits=12).collect()}
+    s2 = {r.vec_id: r.bucket for r in hyperplane_signatures(emb, nbits=12).collect()}
+    assert s1 == s2
+
+
+def test_near_dup_pairs(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    rows = [
+        (0, base.tolist()),
+        (1, (base * 2.0).tolist()),            # cosine 1.0 with 0
+        (2, (base + rng.standard_normal(16) * 0.01).tolist()),  # near dup
+        (3, rng.standard_normal(16).tolist()),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = cosine_near_dup_pairs(df, tau=0.99, nbits=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any(3 in p for p in got)
