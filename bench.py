@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""Benchmark harness — prints ONE JSON line.
+
+Headline suite (at $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1, on
+local[$SPARK_GRAFT_CPUS]):
+  - index_build : synthetic transcripts (scaled by sf) → documents → BM25
+                  weights → sharded compressed posting index (the engine's
+                  central shuffle); reports postings/sec
+  - bm25_query  : fixture query set through the block-max WAND kernel over
+                  the built index; p50/p95 per-batch latency
+  - oracle_bm25 / dedup / ann / textstats over the driver testdata tables
+
+Scaling evidence (north rule: throughput efficiency >= 0.8 between N and 4N
+executors): the identical build+query job runs at local[N] and local[4N]
+(N = cpus/4) on the same input; both throughputs and the efficiency ratio
+are reported under "scaling" and mirrored into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _mk_spark(cores: int, app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPLADE_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _engine_job(spark, n_conv: int, num_shards: int, k: int = 10, n_queries: int = 25):
+    """The measured unit: transcripts → index build; returns (postings,
+    build_sec, query_fn) where query_fn runs the fixture queries once."""
+    from pyspark.sql import functions as F
+
+    from splade_spark.bm25 import bm25_weights, quantization_scale
+    from splade_spark.documents import build_documents
+    from splade_spark.fixtures import queries_df, transcripts
+    from splade_spark.index.build import build_index, load_postings
+    from splade_spark.query.wand import retrieve
+    from splade_spark.stats import corpus_stats
+    from splade_spark.tokenize import query_term_freqs, term_freqs
+
+    t = transcripts(spark, n_conv)
+    docs = build_documents(t)
+    tf = term_freqs(docs)
+    n, avgdl = corpus_stats(tf)
+    w = bm25_weights(tf, n, avgdl).select("doc_id", "term_id", "weight").cache()
+    w.count()  # materialize weights so build timing isolates the index shuffle
+    scale = quantization_scale(w)
+    path = tempfile.mkdtemp(prefix="splade_bench_") + "/idx"
+
+    t0 = time.time()
+    metrics = build_index(w, path, scale, num_shards=num_shards, resume=False)
+    build_sec = time.time() - t0
+
+    postings = load_postings(spark, path).cache()
+    postings.count()
+    qt = query_term_freqs(queries_df(spark, n_queries)).cache()
+    qt.count()
+
+    def query_once() -> int:
+        return retrieve(postings, qt, scale, k=k).count()
+
+    return metrics["postings"], build_sec, query_once, w
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_conv = max(200, int(40000 * sf))
+    num_shards = max(cpus, 16)
+
+    timings: dict[str, float] = {}
+    extra: dict = {}
+    total_t0 = time.time()
+
+    spark = _mk_spark(cpus, "splade_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- engine: build + query at full parallelism -------------------------
+    postings_n, build_sec, query_once, w = _engine_job(spark, n_conv, num_shards)
+    timings["index_build"] = round(build_sec, 3)
+    extra["index_postings"] = postings_n
+    extra["index_postings_per_sec"] = round(postings_n / build_sec, 1)
+
+    lat = []
+    for _ in range(5):
+        q0 = time.time()
+        query_once()
+        lat.append(time.time() - q0)
+    lat.sort()
+    timings["bm25_query_p50"] = round(lat[len(lat) // 2], 3)
+    timings["bm25_query_p95"] = round(lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)], 3)
+
+    # --- driver-table suite -------------------------------------------------
+    import __spark_entry__ as em
+
+    for name in [
+        "bm25_topk",
+        "term_freqs",
+        "ngram_jaccard",
+        "minhash_dups",
+        "emb_cosine_topk",
+        "quality",
+        "events_hourly",
+        "revenue_top5",
+    ]:
+        t0 = time.time()
+        em.queries()[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+
+    # --- scaling: N vs 4N cores, identical job, same input ------------------
+    # Bounded corpus so the N-core leg stays tractable; a 200-query batch
+    # gives the query stage enough parallel work that throughput (not fixed
+    # job-scheduling overhead) is what's measured.
+    lo = max(2, cpus // 4)
+    n_conv_scale = min(n_conv, 1500)
+    scaling = {}
+    for label, cores in [("n", lo), ("4n", cpus)]:
+        s = _mk_spark(cores, f"splade_scale_{label}")
+        s.sparkContext.setLogLevel("ERROR")
+        p, bsec, qfn, _ = _engine_job(
+            s, n_conv_scale, num_shards, k=100, n_queries=200
+        )
+        qfn()  # warm (plans, Arrow workers)
+        q0 = time.time()
+        qfn()
+        qsec = time.time() - q0
+        scaling[label] = {
+            "cores": cores,
+            "build_sec": round(bsec, 3),
+            "postings_per_sec": round(p / bsec, 1),
+            "query_batch_sec": round(qsec, 3),
+            "queries_per_sec": round(200 / qsec, 1),
+        }
+        s.stop()
+    ratio = cpus / lo
+    scaling["efficiency_build"] = round(
+        scaling["4n"]["postings_per_sec"]
+        / (scaling["n"]["postings_per_sec"] * ratio),
+        3,
+    )
+    scaling["efficiency_query"] = round(
+        scaling["4n"]["queries_per_sec"]
+        / (scaling["n"]["queries_per_sec"] * ratio),
+        3,
+    )
+    extra["scaling"] = scaling
+
+    out = {
+        "metric": "splade_spark_bench_total",
+        "value": round(time.time() - total_t0, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

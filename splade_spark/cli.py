@@ -1,0 +1,140 @@
+"""spark-submit entry point.
+
+Cluster launch (the north-rule deployment shape):
+
+    zip -r splade_spark.zip splade_spark
+    spark-submit --py-files splade_spark.zip \
+        --master <cluster> \
+        -- python -m splade_spark.cli build \
+           --transcripts s3://.../transcripts --index s3://.../idx --shards 4096
+
+Local: python -m splade_spark.cli {synth|build|query|evaluate} ...
+Per-stage metrics (postings/sec, wall time, shard ledger) are logged to
+stderr and persisted in the index's _ledger/ directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _log(msg: str) -> None:
+    print(f"[splade_spark] {msg}", file=sys.stderr)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="splade_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="generate deterministic transcripts")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--conversations", type=int, default=10000)
+
+    bp = sub.add_parser("build", help="build the compressed posting index")
+    bp.add_argument("--transcripts", required=True)
+    bp.add_argument("--index", required=True)
+    bp.add_argument("--shards", type=int, default=64)
+    bp.add_argument("--no-resume", action="store_true")
+
+    qp = sub.add_parser("query", help="top-k BM25 retrieval")
+    qp.add_argument("--index", required=True)
+    qp.add_argument("--queries", required=True, help="TSV qid\\ttext")
+    qp.add_argument("--out", required=True, help="runs parquet dir")
+    qp.add_argument("--k", type=int, default=10)
+    qp.add_argument("--threshold", type=float, default=0.0)
+    qp.add_argument("--run-json", default=None)
+
+    ep = sub.add_parser("evaluate", help="score a run against qrels")
+    ep.add_argument("--run", required=True)
+    ep.add_argument("--qrels", required=True, help="qrels json")
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(f"splade_{args.cmd}")
+
+    if args.cmd == "synth":
+        from .fixtures import transcripts
+
+        transcripts(spark, args.conversations).write.mode("overwrite").parquet(args.out)
+        _log(f"wrote {args.conversations} conversations to {args.out}")
+
+    elif args.cmd == "build":
+        from pyspark.sql import functions as F
+
+        from .bm25 import bm25_weights, quantization_scale
+        from .documents import build_documents
+        from .stats import corpus_stats
+        from .tokenize import term_freqs
+
+        from .index.build import build_index
+
+        t0 = time.time()
+        tr = spark.read.parquet(args.transcripts)
+        docs = build_documents(tr)
+        tf = term_freqs(docs)
+        n, avgdl = corpus_stats(tf)
+        _log(f"corpus: N={n} avgdl={avgdl:.2f} ({time.time() - t0:.1f}s)")
+        w = bm25_weights(tf, n, avgdl).select("doc_id", "term_id", "weight")
+        scale = quantization_scale(w)
+        metrics = build_index(
+            w,
+            args.index,
+            scale,
+            num_shards=args.shards,
+            resume=not args.no_resume,
+            lineage={"transcripts": args.transcripts, "n_docs": n, "avgdl": avgdl},
+        )
+        # doc_map dim table for external-id emission
+        docs.select("doc_id", "conv_id").write.mode("overwrite").parquet(
+            args.index + "_docmap"
+        )
+        _log(f"build: {json.dumps(metrics)}")
+
+    elif args.cmd == "query":
+        from pyspark.sql import functions as F
+
+        from .index.build import load_postings, read_index_meta
+        from .io import read_collection_tsv, write_run_json, write_runs_parquet
+        from .query.wand import retrieve
+        from .tokenize import query_term_freqs
+
+        meta = read_index_meta(args.index)
+        queries = read_collection_tsv(spark, args.queries).withColumnRenamed(
+            "doc_id", "query_id"
+        )
+        qt = query_term_freqs(queries)
+        t0 = time.time()
+        runs = retrieve(
+            load_postings(spark, args.index),
+            qt,
+            meta["scale"],
+            k=args.k,
+            threshold=args.threshold,
+        )
+        write_runs_parquet(runs, args.out)
+        _log(f"query: k={args.k} wall={time.time() - t0:.2f}s → {args.out}")
+        if args.run_json:
+            write_run_json(spark.read.parquet(args.out), args.run_json)
+
+    elif args.cmd == "evaluate":
+        from pyspark.sql import functions as F
+
+        from .evaluation.metrics import evaluate
+        from .io import read_qrels_json
+
+        runs = spark.read.parquet(args.run).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+        qrels = read_qrels_json(spark, args.qrels)
+        print(json.dumps(evaluate(runs, qrels)))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

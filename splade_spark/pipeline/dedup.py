@@ -202,8 +202,29 @@ def minhash_dedup_pairs(
 
     Output ⊆ ngram_jaccard_pairs output; LSH only bounds the candidate set
     (recall ≈ 1 - (1 - tau^(h/bands))^bands, tunable)."""
-    sigs = minhash_signatures(df, n, num_hashes, id_col, text_col)
+    sigs = minhash_signatures(df, n, num_hashes, id_col, text_col).cache()
     cands = minhash_lsh_candidates(sigs, bands, id_col)
+    # cheap signature-level Jaccard estimate prunes most candidates before
+    # the exact shingle-join verify (estimate is unbiased with sd
+    # ~= sqrt(j(1-j)/num_hashes); the 0.2 slack keeps recall of true
+    # >=tau pairs high while discarding the low-sim bulk)
+    sig_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cands.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn(
+            "est_j",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda e: e,
+                )
+            )
+            / F.size("sig_a"),
+        )
+    )
+    cands = est.filter(F.col("est_j") >= tau - 0.2).select("doc_a", "doc_b")
     sh = doc_shingles(df, n, id_col, text_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     # verify candidates with exact Jaccard: common shingles per pair
