@@ -39,6 +39,7 @@ def _mk_spark(cores: int, app: str):
         .config("spark.driver.memory", os.environ.get("SPLADE_SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -130,11 +131,11 @@ def main() -> None:
     spark.stop()
 
     # --- scaling: N vs 4N cores, identical job, same input ------------------
-    # Bounded corpus so the N-core leg stays tractable; a 200-query batch
-    # gives the query stage enough parallel work that throughput (not fixed
-    # job-scheduling overhead) is what's measured.
+    # Full corpus (the streaming encoder made small corpora overhead-bound);
+    # a 200-query batch gives the query stage enough parallel work that
+    # throughput (not fixed job-scheduling overhead) is what's measured.
     lo = max(2, cpus // 4)
-    n_conv_scale = min(n_conv, 1500)
+    n_conv_scale = max(n_conv, 1500)
     scaling = {}
     for label, cores in [("n", lo), ("4n", cpus)]:
         s = _mk_spark(cores, f"splade_scale_{label}")

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import BLOCK_SIZE
-from .codec import encode_blocks, quantize_weights
+from .codec import encode_groups
 
 POSTINGS_SCHEMA = (
     "shard_id int, term_id long, block_id int, first_doc long, last_doc long, "
@@ -63,51 +63,62 @@ def build_postings(
 ) -> DataFrame:
     """(doc_id, term_id, weight) → compressed posting blocks.
 
-    One shuffle (groupBy shard,term) + one Arrow grouped-map encode.
+    One shuffle — repartition on (shard_id, term_id) with
+    sortWithinPartitions(shard, term, doc) — then a *streaming* Arrow
+    encoder (mapInPandas): each batch is encoded for ALL its (shard, term)
+    groups in one vectorized pass (codec.encode_groups); the trailing
+    possibly-incomplete group is carried into the next batch, so memory is
+    O(arrow batch + one group) regardless of partition size. A grouped-map
+    per (shard, term) is wrong at scale in both directions: Zipf tails make
+    millions of tiny groups (per-group pandas overhead dominates), and a
+    per-shard grouping would buffer whole shards in memory.
     """
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        shard = int(pdf["shard_id"].iloc[0])
-        term = int(pdf["term_id"].iloc[0])
-        rows = encode_blocks(
-            pdf["doc_id"].to_numpy(),
-            pdf["weight"].to_numpy(),
-            scale,
-            block_size=block_size,
-        )
-        out = pd.DataFrame(
-            rows,
-            columns=[
-                "block_id",
-                "first_doc",
-                "last_doc",
-                "n",
-                "doc_bytes",
-                "w_bytes",
-                "block_max_f",
-            ],
-        )
-        out["block_max"] = (out["block_max_f"] * scale).round().astype("int32")
-        out["shard_id"] = shard
-        out["term_id"] = term
-        return out[
-            [
-                "shard_id",
-                "term_id",
-                "block_id",
-                "first_doc",
-                "last_doc",
-                "n",
-                "doc_bytes",
-                "w_bytes",
-                "block_max",
-            ]
-        ]
+    def encode_stream(batches):
+        import numpy as np
+
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            s = pdf["shard_id"].to_numpy()
+            t = pdf["term_id"].to_numpy()
+            same_tail = (s == s[-1]) & (t == t[-1])
+            not_tail = np.flatnonzero(~same_tail)
+            cut = int(not_tail[-1]) + 1 if len(not_tail) else 0
+            pending = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield pd.DataFrame(
+                    encode_groups(
+                        body["shard_id"].to_numpy(),
+                        body["term_id"].to_numpy(),
+                        body["doc_id"].to_numpy(),
+                        body["weight"].to_numpy(),
+                        scale,
+                        block_size=block_size,
+                    )
+                )
+        if pending is not None and len(pending):
+            yield pd.DataFrame(
+                encode_groups(
+                    pending["shard_id"].to_numpy(),
+                    pending["term_id"].to_numpy(),
+                    pending["doc_id"].to_numpy(),
+                    pending["weight"].to_numpy(),
+                    scale,
+                    block_size=block_size,
+                )
+            )
 
     sharded = with_shard(weights, num_shards)
-    return sharded.groupBy("shard_id", "term_id").applyInPandas(
-        encode, schema=POSTINGS_SCHEMA
+    arranged = sharded.repartition("shard_id", "term_id").sortWithinPartitions(
+        "shard_id", "term_id", "doc_id"
     )
+    return arranged.mapInPandas(encode_stream, schema=POSTINGS_SCHEMA)
 
 
 def _ledger_dir(path: str) -> str:

@@ -20,12 +20,15 @@ import numpy as np
 from .. import BLOCK_SIZE
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized (≤10 passes)."""
+def encode_varint_with_lens(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array, fully vectorized (≤10 passes).
+
+    Returns (byte array, per-value byte lengths) so callers can slice the
+    stream per block without re-encoding."""
     v = np.asarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     lens = np.ones(n, dtype=np.int64)
     tmp = v.copy()
     while True:
@@ -42,7 +45,11 @@ def encode_varint(values: np.ndarray) -> bytes:
         byte = (v[sel] >> np.uint64(7 * i)) & np.uint64(0x7F)
         cont = (lens[sel] > i + 1).astype(np.uint8) << 7
         out[offsets[sel] + i] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return out, lens
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    return encode_varint_with_lens(values)[0].tobytes()
 
 
 def decode_varint(buf: bytes) -> np.ndarray:
@@ -117,6 +124,82 @@ def encode_blocks(
             )
         )
     return rows
+
+
+def encode_groups(
+    shard: np.ndarray,
+    term: np.ndarray,
+    doc: np.ndarray,
+    weight: np.ndarray,
+    scale: float,
+    block_size: int = BLOCK_SIZE,
+    bits: int = 8,
+) -> dict[str, list]:
+    """Encode MANY (shard, term) posting groups in one vectorized pass.
+
+    Input arrays must be sorted by (shard, term, doc) — the build shuffle's
+    sortWithinPartitions guarantees this. Group/block boundaries, deltas,
+    varint packing, and block maxima are all computed with cumsum/reduceat;
+    the only Python loop slices the shared byte buffers per block (cheap).
+    This replaces a per-group applyInPandas, whose per-group pandas overhead
+    dominates when Zipf tails make most groups tiny.
+    """
+    n = len(doc)
+    if n == 0:
+        return {
+            k: []
+            for k in (
+                "shard_id", "term_id", "block_id", "first_doc", "last_doc",
+                "n", "doc_bytes", "w_bytes", "block_max",
+            )
+        }
+    doc = np.asarray(doc, dtype=np.int64)
+    q = quantize_weights(np.asarray(weight), scale, bits)
+
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (shard[1:] != shard[:-1]) | (term[1:] != term[:-1])
+    gid = np.cumsum(new_grp) - 1
+    grp_start = np.flatnonzero(new_grp)
+    pos = np.arange(n) - grp_start[gid]
+    new_blk = new_grp | (pos % block_size == 0)
+    blk_start = np.flatnonzero(new_blk)
+    nb = len(blk_start)
+    blk_end = np.empty(nb, dtype=np.int64)
+    blk_end[:-1] = blk_start[1:]
+    blk_end[-1] = n
+    blk_n = blk_end - blk_start
+
+    raw_delta = np.empty(n, dtype=np.int64)
+    raw_delta[0] = 0
+    raw_delta[1:] = doc[1:] - doc[:-1]
+    keep = ~new_blk  # block-start rows carry no delta (cross-group diffs excluded)
+    dvals = raw_delta[keep].astype(np.uint64)
+    dbytes_arr, dlens = encode_varint_with_lens(dvals)
+    dbuf = dbytes_arr.tobytes()
+    dcount_cum = np.concatenate(([0], np.cumsum(blk_n - 1)))
+    byte_cum = np.concatenate(([0], np.cumsum(dlens)))
+    wbuf = q.tobytes()
+    isz = q.itemsize
+
+    doc_bytes = [
+        dbuf[byte_cum[dcount_cum[b]] : byte_cum[dcount_cum[b + 1]]]
+        for b in range(nb)
+    ]
+    w_bytes = [wbuf[blk_start[b] * isz : blk_end[b] * isz] for b in range(nb)]
+    block_max = np.maximum.reduceat(q, blk_start).astype(np.int32)
+
+    return {
+        "shard_id": shard[blk_start].tolist(),
+        "term_id": term[blk_start].tolist(),
+        "block_id": (pos[blk_start] // block_size).astype(np.int32).tolist(),
+        "first_doc": doc[blk_start].tolist(),
+        "last_doc": doc[blk_end - 1].tolist(),
+        "n": blk_n.astype(np.int32).tolist(),
+        "doc_bytes": doc_bytes,
+        "w_bytes": w_bytes,
+        "block_max": block_max.tolist(),
+    }
 
 
 def decode_block(

@@ -159,8 +159,19 @@ def retrieve(
     )
     theta0 = int(np.floor(threshold * scale))
 
+    # term pruning: small term sets go in as an INSET literal (pushed into
+    # the parquet scan as row-group stats filters); large batches use a
+    # broadcast semi-join instead — a thousands-literal isin() costs seconds
+    # of Catalyst planning *per query batch*, a fixed cost no executor count
+    # can amortize
     term_ids = qpdf["term_id"].unique().tolist()
-    relevant = postings.filter(F.col("term_id").isin(term_ids))
+    if len(term_ids) <= 128:
+        relevant = postings.filter(F.col("term_id").isin(term_ids))
+    else:
+        tid_df = spark.createDataFrame(
+            [(int(t),) for t in term_ids], "term_id long"
+        )
+        relevant = postings.join(F.broadcast(tid_df), "term_id", "left_semi")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["term_id", "block_id"])

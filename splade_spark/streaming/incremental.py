@@ -1,0 +1,164 @@
+"""Incremental index maintenance via Structured Streaming.
+
+The reference is strictly batch (SURVEY.md §2.9); its only incrementality is
+the all-or-nothing force_new=False index reload
+(splade/indexing/inverted_index.py:23-46). Here, newly arriving transcript
+conversations stream in (files landing in a directory / an Iceberg CDC feed),
+and each micro-batch becomes a posting *segment* built through the normal
+sharded build path; segments fold with the log-structured tiered merge
+(index/merge.py). `Trigger.AvailableNow` gives catch-up batch semantics.
+
+Scoring stats policy: BM25 df/N/avgdl are **frozen from the base corpus**
+per segment-build (the standard search-engine trade-off — stats drift is
+repaired at the next full merge/rebuild, queries stay consistent meanwhile).
+The frozen stats and quantization scale travel in the segment's lineage.
+
+Doc ids: each batch allocates a contiguous id range above the current high
+watermark (persisted in _doc_counter.json), preserving the docID-sorted,
+docID-disjoint segment invariant the merge relies on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..bm25 import bm25_weights
+from ..documents import build_documents
+from ..index.build import build_index
+from ..tokenize import term_freqs
+from ..fixtures import TRANSCRIPTS_SCHEMA
+
+
+class FrozenStats:
+    """BM25 corpus statistics frozen at base-index build time."""
+
+    def __init__(self, n_docs: int, avgdl: float, scale: float):
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.scale = scale
+
+    def to_dict(self) -> dict:
+        return {"n_docs": self.n_docs, "avgdl": self.avgdl, "scale": self.scale}
+
+    @classmethod
+    def load(cls, path: str) -> "FrozenStats":
+        with open(path) as fh:
+            d = json.load(fh)
+        return cls(d["n_docs"], d["avgdl"], d["scale"])
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as fh:
+            json.dump(self.to_dict(), fh)
+
+
+def _counter_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "_doc_counter.json")
+
+
+def _next_doc_id(base_dir: str) -> int:
+    p = _counter_path(base_dir)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return int(json.load(fh)["next_doc_id"])
+    return 0
+
+
+def _set_next_doc_id(base_dir: str, v: int) -> None:
+    tmp = _counter_path(base_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"next_doc_id": int(v)}, fh)
+    os.replace(tmp, _counter_path(base_dir))
+
+
+def build_segment_from_batch(
+    batch: DataFrame,
+    base_dir: str,
+    stats: FrozenStats,
+    num_shards: int,
+    epoch_id: int,
+) -> str | None:
+    """One micro-batch of transcripts → one posting segment directory."""
+    docs = build_documents(batch)
+    offset = _next_doc_id(base_dir)
+    docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    n_new = docs.count()
+    if n_new == 0:
+        return None
+    tf = term_freqs(docs)
+    w = bm25_weights(tf, stats.n_docs, stats.avgdl).select(
+        "doc_id", "term_id", "weight"
+    )
+    seg = os.path.join(base_dir, "segments", f"epoch={epoch_id:08d}")
+    build_index(
+        w,
+        seg,
+        stats.scale,
+        num_shards=num_shards,
+        resume=False,
+        lineage={"epoch": epoch_id, "doc_id_offset": offset, "n_docs": n_new,
+                 "frozen_stats": stats.to_dict()},
+    )
+    # doc_map for the new range
+    docs.select("doc_id", "conv_id").write.mode("overwrite").parquet(
+        seg + "_docmap"
+    )
+    _set_next_doc_id(base_dir, offset + n_new)
+    return seg
+
+
+def list_segments(base_dir: str) -> list[str]:
+    segdir = os.path.join(base_dir, "segments")
+    if not os.path.isdir(segdir):
+        return []
+    return sorted(
+        os.path.join(segdir, d)
+        for d in os.listdir(segdir)
+        if d.startswith("epoch=")
+    )
+
+
+def load_all_postings(spark: SparkSession, base_dir: str, base_index: str | None = None) -> DataFrame:
+    """Union of the base index (if any) and all live segments — retrieval is
+    distributive over docID-disjoint segments, so querying the union is
+    exact without waiting for a merge."""
+    paths = ([base_index] if base_index else []) + list_segments(base_dir)
+    assert paths, "no postings found"
+    df = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        df = df.unionByName(spark.read.parquet(p))
+    return df
+
+
+def start_incremental_indexer(
+    spark: SparkSession,
+    input_dir: str,
+    base_dir: str,
+    stats: FrozenStats,
+    num_shards: int = 16,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """readStream over a landing directory of transcript parquet files →
+    one segment per micro-batch. Returns the StreamingQuery."""
+    os.makedirs(base_dir, exist_ok=True)
+    stats.save(os.path.join(base_dir, "_frozen_stats.json"))
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        build_segment_from_batch(batch, base_dir, stats, num_shards, epoch_id)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation",
+        checkpoint_dir or os.path.join(base_dir, "_stream_checkpoint"),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
