@@ -40,6 +40,7 @@ def _mk_spark(cores: int, app: str):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -77,7 +78,7 @@ def _engine_job(spark, n_conv: int, num_shards: int, k: int = 10, n_queries: int
     qt.count()
 
     def query_once() -> int:
-        return retrieve(postings, qt, scale, k=k).count()
+        return retrieve(postings, qt, scale, k=k, num_shards=num_shards).count()
 
     return metrics["postings"], build_sec, query_once, w
 
@@ -131,11 +132,13 @@ def main() -> None:
     spark.stop()
 
     # --- scaling: N vs 4N cores, identical job, same input ------------------
-    # Full corpus (the streaming encoder made small corpora overhead-bound);
-    # a 200-query batch gives the query stage enough parallel work that
-    # throughput (not fixed job-scheduling overhead) is what's measured.
+    # The scaling corpus must be CPU-bound for tens of seconds per leg or
+    # fixed job overhead (~1-2s) swamps the signal — the streaming encoder
+    # finishes 1M postings in ~3s even at N cores. ~10M postings gives the
+    # N-core leg ~30s of real work. A 200-query batch does the same for the
+    # query stage.
     lo = max(2, cpus // 4)
-    n_conv_scale = max(n_conv, 1500)
+    n_conv_scale = min(40000, max(10 * n_conv, 1500))
     scaling = {}
     for label, cores in [("n", lo), ("4n", cpus)]:
         s = _mk_spark(cores, f"splade_scale_{label}")
@@ -144,9 +147,11 @@ def main() -> None:
             s, n_conv_scale, num_shards, k=100, n_queries=200
         )
         qfn()  # warm (plans, Arrow workers)
-        q0 = time.time()
-        qfn()
-        qsec = time.time() - q0
+        qsec = 1e18
+        for _ in range(2):  # min-of-2 to damp scheduler noise
+            q0 = time.time()
+            qfn()
+            qsec = min(qsec, time.time() - q0)
         scaling[label] = {
             "cores": cores,
             "build_sec": round(bsec, 3),

@@ -115,7 +115,15 @@ def build_postings(
             )
 
     sharded = with_shard(weights, num_shards)
-    arranged = sharded.repartition("shard_id", "term_id").sortWithinPartitions(
+    # explicit partition count — AQE's coalescePartitions would shrink this
+    # CPU-bound encode stage to a handful of partitions based on shuffle
+    # bytes alone; user-specified repartition(N) is exempt from coalescing
+    spark = weights.sparkSession
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        spark.sparkContext.defaultParallelism * 2,
+    )
+    arranged = sharded.repartition(n_part, "shard_id", "term_id").sortWithinPartitions(
         "shard_id", "term_id", "doc_id"
     )
     return arranged.mapInPandas(encode_stream, schema=POSTINGS_SCHEMA)
@@ -187,8 +195,16 @@ def build_index(
         num_shards=num_shards,
         block_size=block_size,
     )
+    # Range-repartition the (small) encoded blocks so each shard writes ~one
+    # term-sorted file: without this, encode_partitions × shards files get
+    # committed (serial renames dominate), and term row-group stats are
+    # interleaved. Term-sorted files give the query path tight min/max
+    # pruning on term_id.
+    arranged = postings.repartitionByRange(
+        num_shards, "shard_id", "term_id"
+    ).sortWithinPartitions("shard_id", "term_id", "block_id")
     (
-        postings.write.mode("overwrite")
+        arranged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard_id")
         .parquet(path)

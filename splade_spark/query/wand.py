@@ -142,6 +142,7 @@ def retrieve(
     k: int = 10,
     threshold: float = 0.0,
     prune: bool = True,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 over a block-compressed sharded index.
 
@@ -173,35 +174,63 @@ def retrieve(
         )
         relevant = postings.join(F.broadcast(tid_df), "term_id", "left_semi")
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["term_id", "block_id"])
-        by_term: dict[int, tuple] = {}
-        for term_id, g in pdf.groupby("term_id"):
-            rows = list(
-                zip(g["first_doc"], g["n"], g["doc_bytes"], g["w_bytes"])
-            )
-            by_term[int(term_id)] = (
-                g["first_doc"].to_numpy(np.int64),
-                g["last_doc"].to_numpy(np.int64),
-                g["block_max"].to_numpy(np.int64),
-                rows,
-            )
+    def kernel(batches) -> "pd.DataFrame":
+        """Per-partition: buffer the (small, term-filtered) block rows,
+        then score every query against every complete shard group present.
+        Partitions hold whole shards (explicit repartition by shard_id)."""
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf_all = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         out_q, out_d, out_s = [], [], []
-        for qid, qterms in bq.value:
-            terms = [
-                (int(qtf), *by_term[int(t)])
-                for t, qtf in qterms
-                if int(t) in by_term
-            ]
-            docs, scores = _score_query_in_shard(terms, k, theta0, scale, prune)
-            out_q.extend([qid] * len(docs))
-            out_d.extend(docs.tolist())
-            out_s.extend(scores.tolist())
-        return pd.DataFrame(
-            {"query_id": out_q, "doc_id": out_d, "score_int": out_s}
-        )
+        pdf_all = pdf_all.sort_values(["shard_id", "term_id", "block_id"])
+        shards = pdf_all["shard_id"].to_numpy()
+        t_all = pdf_all["term_id"].to_numpy(np.int64)
+        fd_all = pdf_all["first_doc"].to_numpy(np.int64)
+        ld_all = pdf_all["last_doc"].to_numpy(np.int64)
+        bm_all = pdf_all["block_max"].to_numpy(np.int64)
+        n_all = pdf_all["n"].to_numpy()
+        db_all = pdf_all["doc_bytes"].to_numpy(object)
+        wb_all = pdf_all["w_bytes"].to_numpy(object)
+        ushards, sh_starts = np.unique(shards, return_index=True)
+        sh_bounds = np.append(sh_starts, len(shards))
+        for si in range(len(ushards)):
+            s0, s1 = int(sh_bounds[si]), int(sh_bounds[si + 1])
+            # per-term slices via numpy (a pandas groupby here costs more
+            # than the scoring itself when thousands of terms are probed)
+            uterms, t_starts = np.unique(t_all[s0:s1], return_index=True)
+            t_bounds = np.append(t_starts, s1 - s0)
+            by_term: dict[int, tuple] = {}
+            for ti in range(len(uterms)):
+                a, b = s0 + int(t_bounds[ti]), s0 + int(t_bounds[ti + 1])
+                by_term[int(uterms[ti])] = (
+                    fd_all[a:b],
+                    ld_all[a:b],
+                    bm_all[a:b],
+                    list(zip(fd_all[a:b], n_all[a:b], db_all[a:b], wb_all[a:b])),
+                )
+            for qid, qterms in bq.value:
+                terms = [
+                    (int(qtf), *by_term[int(t)])
+                    for t, qtf in qterms
+                    if int(t) in by_term
+                ]
+                docs, scores = _score_query_in_shard(terms, k, theta0, scale, prune)
+                out_q.extend([qid] * len(docs))
+                out_d.extend(docs.tolist())
+                out_s.extend(scores.tolist())
+        yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score_int": out_s})
 
-    local = relevant.groupBy("shard_id").applyInPandas(
+    # explicit partition count: AQE's coalescePartitions would fold this
+    # CPU-heavy, byte-light stage into one partition (the shuffled blocks
+    # are small even when the scoring work isn't) — user-specified
+    # repartition(N) is exempt. Oversubscribe 4x so hash collisions don't
+    # stack multiple heavy shards on one task.
+    if num_shards is None:
+        row = relevant.agg(F.max("shard_id")).collect()[0]
+        num_shards = int(row[0] or 0) + 1
+    par = spark.sparkContext.defaultParallelism
+    local = relevant.repartition(max(4 * num_shards, par), "shard_id").mapInPandas(
         kernel, schema="query_id string, doc_id long, score_int long"
     )
     w = Window.partitionBy("query_id").orderBy(
