@@ -125,6 +125,58 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 threshold filter through the scoring path (threshold=1.0)."""
+    from splade_spark.bm25 import bm25_topk, bm25_weights
+    from splade_spark.stats import corpus_stats
+    from splade_spark.tokenize import term_freqs
+
+    tf = term_freqs(_docs(spark, sf_dir))
+    n, avgdl = corpus_stats(tf)
+    w = bm25_weights(tf, n, avgdl)
+    qt = spark.createDataFrame(
+        _query_terms(), "query_id string, term string, qtf int"
+    ).withColumn("term_id", F.xxhash64("term"))
+    top = bm25_topk(
+        w.withColumn("term_id", F.xxhash64("term")), qt, k=10, threshold=1.0
+    )
+    return top.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_l0_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: mean number of distinct terms (non-zeros) per document."""
+    from splade_spark.stats import l0_stats
+    from splade_spark.tokenize import term_freqs
+
+    return l0_stats(term_freqs(_docs(spark, sf_dir))).select(
+        F.round("mean_l0", 6).alias("mean_l0"), "n_docs"
+    )
+
+
+def q_flops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/J6: FLOPS = sum_t p_d(t)*p_q(t) between documents and the fixed
+    query set (activation-probability dot product)."""
+    from splade_spark.tokenize import term_freqs
+
+    tf = term_freqs(_docs(spark, sf_dir))
+    n_d = tf.select("doc_id").distinct().count()
+    qt = spark.createDataFrame(_query_terms(), "query_id string, term string, qtf int")
+    n_q = qt.select("query_id").distinct().count()
+    p_d = tf.groupBy("term").agg((F.count("*") / n_d).alias("p_d"))
+    p_q = qt.select("query_id", "term").distinct().groupBy("term").agg(
+        (F.count("*") / n_q).alias("p_q")
+    )
+    return (
+        p_d.join(p_q, "term")
+        .agg(F.round(F.sum(F.col("p_d") * F.col("p_q")), 9).alias("flops"))
+    )
+
+
 def q_posting_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-length histogram (reference: index_dist.json)."""
     from splade_spark.stats import doc_freqs
@@ -386,6 +438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "bm25_weights": q_bm25_weights,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_threshold": q_bm25_topk_threshold,
+        "l0_stats": q_l0_stats,
+        "flops": q_flops,
         "posting_dist": q_posting_dist,
         "window_topk_chars": q_window_topk_chars,
         "doc_top_terms": q_doc_top_terms,
@@ -494,6 +549,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, round(score, 6) AS score, rank
             FROM r WHERE rank <= 10
+        """,
+        "bm25_topk_threshold": f"""
+            WITH {_BM25_W},
+            s AS (
+              SELECT query_id, doc_id, sum(qtf * weight) AS score
+              FROM w JOIN {_qt_values()} USING (term)
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT query_id, doc_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+              FROM s WHERE score > 1.0
+            )
+            SELECT query_id, doc_id, round(score, 6) AS score, rank
+            FROM r WHERE rank <= 10
+        """,
+        "l0_stats": f"""
+            WITH {_TF},
+            l0 AS (SELECT doc_id, count(*) AS l0 FROM tf GROUP BY 1)
+            SELECT round(avg(l0), 6) AS mean_l0, count(*) AS n_docs FROM l0
+        """,
+        "flops": f"""
+            WITH {_TF},
+            nd AS (SELECT count(DISTINCT doc_id) AS n_d FROM tf),
+            qt AS (SELECT DISTINCT query_id, term FROM {_qt_values()}),
+            nq AS (SELECT count(DISTINCT query_id) AS n_q FROM qt),
+            pd AS (SELECT term, count(*)::DOUBLE / (SELECT n_d FROM nd) AS p_d
+                   FROM tf GROUP BY 1),
+            pq AS (SELECT term, count(*)::DOUBLE / (SELECT n_q FROM nq) AS p_q
+                   FROM qt GROUP BY 1)
+            SELECT round(sum(p_d * p_q), 9) AS flops FROM pd JOIN pq USING (term)
         """,
         "posting_dist": f"""
             WITH {_TF},

@@ -68,14 +68,19 @@ def _engine_job(spark, n_conv: int, num_shards: int, k: int = 10, n_queries: int
     scale = quantization_scale(w)
     path = tempfile.mkdtemp(prefix="splade_bench_") + "/idx"
 
-    t0 = time.time()
-    metrics = build_index(w, path, scale, num_shards=num_shards, resume=False)
-    build_sec = time.time() - t0
+    build_sec = 1e18
+    for _ in range(2):  # min-of-2 damps one-off scheduler/IO noise
+        t0 = time.time()
+        metrics = build_index(w, path, scale, num_shards=num_shards, resume=False)
+        build_sec = min(build_sec, time.time() - t0)
 
     postings = load_postings(spark, path).cache()
     postings.count()
-    qt = query_term_freqs(queries_df(spark, n_queries)).cache()
-    qt.count()
+    qt = (
+        query_term_freqs(queries_df(spark, n_queries))
+        .select("query_id", "term_id", "qtf")
+        .toPandas()
+    )
 
     def query_once() -> int:
         return retrieve(postings, qt, scale, k=k, num_shards=num_shards).count()
@@ -138,6 +143,11 @@ def main() -> None:
     # N-core leg ~30s of real work. A 200-query batch does the same for the
     # query stage.
     lo = max(2, cpus // 4)
+    # ~10M postings: CPU-bound for tens of seconds per leg, yet below the
+    # sandbox's shared-local-disk shuffle/write saturation point (at ~20M+
+    # postings both legs flatline at the same disk-bound postings/sec —
+    # single-box I/O doesn't scale with threads; on a real cluster it
+    # scales with executors)
     n_conv_scale = min(40000, max(10 * n_conv, 1500))
     scaling = {}
     for label, cores in [("n", lo), ("4n", cpus)]:

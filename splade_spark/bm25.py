@@ -29,14 +29,24 @@ def bm25_weights(
     avgdl: float,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    df_table: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, term, term_id, weight): the per-(doc,term) BM25 impact.
 
     weight = idf(term) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
     This is the graft analogue of the reference's learned impact scores
     (SURVEY.md §2.4 A1); df comes from a groupBy + window-free join.
+
+    df_table: optional frozen (term_id, df) statistics — incremental
+    segment builds must score against base-corpus document frequencies,
+    not the micro-batch's own (terms unseen in the base get df=0).
     """
-    df_tbl = term_freqs.groupBy("term_id").agg(F.count("*").alias("df"))
+    if df_table is not None:
+        df_tbl = term_freqs.select("term_id").distinct().join(
+            df_table.select("term_id", "df"), "term_id", "left"
+        ).select("term_id", F.coalesce("df", F.lit(0)).alias("df"))
+    else:
+        df_tbl = term_freqs.groupBy("term_id").agg(F.count("*").alias("df"))
     tf = F.col("tf").cast("double")
     norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
     return (

@@ -200,9 +200,9 @@ def build_index(
     # committed (serial renames dominate), and term row-group stats are
     # interleaved. Term-sorted files give the query path tight min/max
     # pruning on term_id.
-    arranged = postings.repartitionByRange(
-        num_shards, "shard_id", "term_id"
-    ).sortWithinPartitions("shard_id", "term_id", "block_id")
+    arranged = postings.repartition(num_shards, "shard_id").sortWithinPartitions(
+        "shard_id", "term_id", "block_id"
+    )
     (
         arranged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -151,7 +151,11 @@ def retrieve(
     ``bm25.bm25_topk`` on integer-quantized weights.
     """
     spark = postings.sparkSession
-    qpdf = query_terms.select("query_id", "term_id", "qtf").toPandas()
+    if isinstance(query_terms, pd.DataFrame):
+        # query-service path: terms already driver-side, skip the Spark job
+        qpdf = query_terms[["query_id", "term_id", "qtf"]]
+    else:
+        qpdf = query_terms.select("query_id", "term_id", "qtf").toPandas()
     bq = spark.sparkContext.broadcast(
         [
             (qid, list(zip(g["term_id"].tolist(), g["qtf"].tolist())))

@@ -34,21 +34,31 @@ from ..fixtures import TRANSCRIPTS_SCHEMA
 
 
 class FrozenStats:
-    """BM25 corpus statistics frozen at base-index build time."""
+    """BM25 corpus statistics frozen at base-index build time.
 
-    def __init__(self, n_docs: int, avgdl: float, scale: float):
+    df_path points at a (term_id, df) parquet of base-corpus document
+    frequencies — segment builds must weight against these, not the
+    micro-batch's own df, or idf drifts per segment."""
+
+    def __init__(self, n_docs: int, avgdl: float, scale: float, df_path: str):
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.scale = scale
+        self.df_path = df_path
 
     def to_dict(self) -> dict:
-        return {"n_docs": self.n_docs, "avgdl": self.avgdl, "scale": self.scale}
+        return {
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "scale": self.scale,
+            "df_path": self.df_path,
+        }
 
     @classmethod
     def load(cls, path: str) -> "FrozenStats":
         with open(path) as fh:
             d = json.load(fh)
-        return cls(d["n_docs"], d["avgdl"], d["scale"])
+        return cls(d["n_docs"], d["avgdl"], d["scale"], d["df_path"])
 
     def save(self, path: str) -> None:
         with open(path, "w") as fh:
@@ -89,9 +99,10 @@ def build_segment_from_batch(
     if n_new == 0:
         return None
     tf = term_freqs(docs)
-    w = bm25_weights(tf, stats.n_docs, stats.avgdl).select(
-        "doc_id", "term_id", "weight"
-    )
+    df_table = batch.sparkSession.read.parquet(stats.df_path)
+    w = bm25_weights(
+        tf, stats.n_docs, stats.avgdl, df_table=df_table
+    ).select("doc_id", "term_id", "weight")
     seg = os.path.join(base_dir, "segments", f"epoch={epoch_id:08d}")
     build_index(
         w,
@@ -117,7 +128,7 @@ def list_segments(base_dir: str) -> list[str]:
     return sorted(
         os.path.join(segdir, d)
         for d in os.listdir(segdir)
-        if d.startswith("epoch=")
+        if d.startswith("epoch=") and not d.endswith("_docmap")
     )
 
 

@@ -35,7 +35,9 @@ def test_incremental_indexing_end_to_end(spark, tmp_path):
     n, avgdl = corpus_stats(tf_all)
     w_all = bm25_weights(tf_all, n, avgdl)
     scale = quantization_scale(w_all)
-    stats = FrozenStats(n, avgdl, scale)
+    df_path = str(tmp_path / "frozen_df")
+    tf_all.groupBy("term_id").agg(F.count("*").alias("df")).write.parquet(df_path)
+    stats = FrozenStats(n, avgdl, scale, df_path)
 
     # first wave of files, then run the AvailableNow stream
     all_t.filter(F.col("conv_id") < "conv-00000060").write.mode("overwrite").parquet(
