@@ -46,33 +46,44 @@ def _mk_spark(cores: int, app: str):
     )
 
 
-def _engine_job(spark, n_conv: int, num_shards: int, k: int = 10, n_queries: int = 25):
-    """The measured unit: transcripts → index build; returns (postings,
-    build_sec, query_fn) where query_fn runs the fixture queries once."""
-    from pyspark.sql import functions as F
-
+def _engine_job(
+    spark, transcripts_path: str, num_shards: int, k: int = 10, n_queries: int = 25
+):
+    """The measured unit: stored transcripts → compressed index on disk —
+    the full pipeline (scan, per-conversation doc agg, tokenize, BM25
+    weights, quantization, sharded block encode, write, ledger). Returns
+    (postings, build_sec, query_fn)."""
     from splade_spark.bm25 import bm25_weights, quantization_scale
     from splade_spark.documents import build_documents
-    from splade_spark.fixtures import queries_df, transcripts
+    from splade_spark.fixtures import queries_df
     from splade_spark.index.build import build_index, load_postings
     from splade_spark.query.wand import retrieve
     from splade_spark.stats import corpus_stats
     from splade_spark.tokenize import query_term_freqs, term_freqs
 
-    t = transcripts(spark, n_conv)
-    docs = build_documents(t)
-    tf = term_freqs(docs)
+    import pandas as _pd
+
+    # pre-warm the Python worker pool (pandas/numpy import storm is a
+    # local-mode session-start artifact; cluster deployments keep warm
+    # executors) — one trivial Arrow stage before the timed section
+    spark.range(0, 1024, 1, spark.sparkContext.defaultParallelism * 2).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
+
+    path = tempfile.mkdtemp(prefix="splade_bench_") + "/idx"
+    t0 = time.time()
+    docs = build_documents(spark.read.parquet(transcripts_path))
+    tf = term_freqs(docs).cache()  # reused by weights' df branch + main branch
     n, avgdl = corpus_stats(tf)
     w = bm25_weights(tf, n, avgdl).select("doc_id", "term_id", "weight").cache()
-    w.count()  # materialize weights so build timing isolates the index shuffle
+    w.count()
     scale = quantization_scale(w)
-    path = tempfile.mkdtemp(prefix="splade_bench_") + "/idx"
-
-    build_sec = 1e18
-    for _ in range(2):  # min-of-2 damps one-off scheduler/IO noise
-        t0 = time.time()
-        metrics = build_index(w, path, scale, num_shards=num_shards, resume=False)
-        build_sec = min(build_sec, time.time() - t0)
+    tb0 = time.time()
+    metrics = build_index(w, path, scale, num_shards=num_shards, resume=False)
+    build_sec = time.time() - tb0  # index-construction stage proper
+    pipeline_sec = time.time() - t0  # transcripts → index end to end
+    tf.unpersist()
+    w.unpersist()
 
     postings = load_postings(spark, path).cache()
     postings.count()
@@ -85,7 +96,7 @@ def _engine_job(spark, n_conv: int, num_shards: int, k: int = 10, n_queries: int
     def query_once() -> int:
         return retrieve(postings, qt, scale, k=k, num_shards=num_shards).count()
 
-    return metrics["postings"], build_sec, query_once, w
+    return metrics["postings"], build_sec, pipeline_sec, query_once
 
 
 def main() -> None:
@@ -102,9 +113,19 @@ def main() -> None:
     spark = _mk_spark(cpus, "splade_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # materialize deterministic transcripts once; every leg reads the SAME
+    # stored input (true same-input comparison, generation excluded)
+    from splade_spark.fixtures import transcripts
+
+    tdir = tempfile.mkdtemp(prefix="splade_bench_t_")
+    transcripts(spark, n_conv).write.mode("overwrite").parquet(tdir + "/head")
+
     # --- engine: build + query at full parallelism -------------------------
-    postings_n, build_sec, query_once, w = _engine_job(spark, n_conv, num_shards)
+    postings_n, build_sec, pipeline_sec, query_once = _engine_job(
+        spark, tdir + "/head", num_shards
+    )
     timings["index_build"] = round(build_sec, 3)
+    timings["index_pipeline"] = round(pipeline_sec, 3)
     extra["index_postings"] = postings_n
     extra["index_postings_per_sec"] = round(postings_n / build_sec, 1)
 
@@ -149,12 +170,16 @@ def main() -> None:
     # single-box I/O doesn't scale with threads; on a real cluster it
     # scales with executors)
     n_conv_scale = min(40000, max(10 * n_conv, 1500))
+    gen = _mk_spark(cpus, "splade_scale_gen")
+    gen.sparkContext.setLogLevel("ERROR")
+    transcripts(gen, n_conv_scale).write.mode("overwrite").parquet(tdir + "/scale")
+    gen.stop()
     scaling = {}
     for label, cores in [("n", lo), ("4n", cpus)]:
         s = _mk_spark(cores, f"splade_scale_{label}")
         s.sparkContext.setLogLevel("ERROR")
-        p, bsec, qfn, _ = _engine_job(
-            s, n_conv_scale, num_shards, k=100, n_queries=200
+        p, bsec, psec, qfn = _engine_job(
+            s, tdir + "/scale", num_shards, k=100, n_queries=200
         )
         qfn()  # warm (plans, Arrow workers)
         qsec = 1e18
@@ -165,6 +190,7 @@ def main() -> None:
         scaling[label] = {
             "cores": cores,
             "build_sec": round(bsec, 3),
+            "pipeline_sec": round(psec, 3),
             "postings_per_sec": round(p / bsec, 1),
             "query_batch_sec": round(qsec, 3),
             "queries_per_sec": round(200 / qsec, 1),

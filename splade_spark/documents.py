@@ -48,7 +48,9 @@ def assign_doc_ids(docs: DataFrame, partitions: int = 0) -> DataFrame:
     ranged = docs.repartitionByRange(partitions, "conv_id").sortWithinPartitions(
         "conv_id"
     )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # cached: the per-partition count job below and the downstream consumer
+    # would otherwise each recompute the full upstream aggregation
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).cache()
     counts = {
         r["_pid"]: r["c"]
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("c")).collect()

@@ -47,22 +47,27 @@ def _topk_merge(
 
 
 def _score_query_in_shard(
-    terms: list[tuple[int, np.ndarray, np.ndarray, np.ndarray, list]],
+    terms: list[tuple[int, int, np.ndarray, np.ndarray, np.ndarray, list]],
     k: int,
     theta0: int,
     scale: float,
     prune: bool,
+    decoded: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """terms: [(qtf, firsts, lasts, bmax_q, block_rows)] per query term
-    present in this shard; block_rows[j] = (first, n, doc_bytes, w_bytes).
-    Returns (doc_ids, int_scores) of the shard-local top-k."""
+    """terms: [(term_id, qtf, firsts, lasts, bmax_q, block_rows)] per query
+    term present in this shard; block_rows[j] = (first, n, doc_bytes,
+    w_bytes). Returns (doc_ids, int_scores) of the shard-local top-k.
+
+    decoded: optional shared (term_id, block_idx) → (docs, qweights) cache —
+    pass one per shard per query batch so head-term blocks decode once for
+    the whole batch instead of once per query."""
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
 
     # elementary intervals from all block boundaries
     bounds = np.unique(
         np.concatenate(
-            [f for _, f, _, _, _ in terms] + [l + 1 for _, _, l, _, _ in terms]
+            [f for _, _, f, _, _, _ in terms] + [l + 1 for _, _, _, l, _, _ in terms]
         )
     )
     m = len(bounds) - 1
@@ -71,7 +76,7 @@ def _score_query_in_shard(
 
     # interval upper bounds via range-add of qtf*block_max
     diff = np.zeros(m + 1, dtype=np.int64)
-    for qtf, firsts, lasts, bmax, _rows in terms:
+    for _tid, qtf, firsts, lasts, bmax, _rows in terms:
         i0 = np.searchsorted(bounds, firsts, side="right") - 1
         i1 = np.searchsorted(bounds, lasts, side="right") - 1
         np.add.at(diff, i0, qtf * bmax)
@@ -82,7 +87,8 @@ def _score_query_in_shard(
     top_docs = np.empty(0, dtype=np.int64)
     top_scores = np.empty(0, dtype=np.int64)
     theta = theta0
-    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    if decoded is None:
+        decoded = {}
 
     pos = 0
     while pos < m:
@@ -98,13 +104,13 @@ def _score_query_in_shard(
         pos += CHUNK
 
         cand_docs, cand_w = [], []
-        for ti, (qtf, firsts, lasts, _bmax, rows) in enumerate(terms):
+        for tid, qtf, firsts, lasts, _bmax, rows in terms:
             for ci in chunk:
                 lo, hi = int(bounds[ci]), int(bounds[ci + 1])
                 j0 = int(np.searchsorted(lasts, lo, side="left"))
                 j1 = int(np.searchsorted(firsts, hi, side="left"))
                 for j in range(j0, j1):
-                    key = (ti, j)
+                    key = (tid, j)
                     blk = decoded.get(key)
                     if blk is None:
                         first, n, dbytes, wbytes = rows[j]
@@ -213,13 +219,16 @@ def retrieve(
                     bm_all[a:b],
                     list(zip(fd_all[a:b], n_all[a:b], db_all[a:b], wb_all[a:b])),
                 )
+            shard_cache: dict = {}  # (term_id, block) decode shared by the batch
             for qid, qterms in bq.value:
                 terms = [
-                    (int(qtf), *by_term[int(t)])
+                    (int(t), int(qtf), *by_term[int(t)])
                     for t, qtf in qterms
                     if int(t) in by_term
                 ]
-                docs, scores = _score_query_in_shard(terms, k, theta0, scale, prune)
+                docs, scores = _score_query_in_shard(
+                    terms, k, theta0, scale, prune, decoded=shard_cache
+                )
                 out_q.extend([qid] * len(docs))
                 out_d.extend(docs.tolist())
                 out_s.extend(scores.tolist())

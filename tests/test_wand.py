@@ -44,7 +44,7 @@ def test_wand_kernel_matches_brute_force(n_terms, k, theta0, rnd):
         lasts = np.array([b[2] for b in blocks], dtype=np.int64)
         bmax = np.array([int(b[6] * scale + 0.5) for b in blocks], dtype=np.int64)
         rows = [(b[1], b[3], b[4], b[5]) for b in blocks]
-        terms.append((qtf, firsts, lasts, bmax, rows))
+        terms.append((t, qtf, firsts, lasts, bmax, rows))
         q_int = np.rint(np.array(weights) * scale).clip(0, 255).astype(int)
         posting_sets[t] = dict(zip(docs, q_int.tolist()))
 
