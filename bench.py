@@ -163,7 +163,12 @@ def main() -> None:
     # finishes 1M postings in ~3s even at N cores. ~10M postings gives the
     # N-core leg ~30s of real work. A 200-query batch does the same for the
     # query stage.
-    lo = max(2, cpus // 4)
+    # N vs 4N with machine headroom: this box carries background load from
+    # other tenants (~4-8 loadavg at idle); a leg using every core absorbs
+    # all of that noise, a leg at half the machine doesn't. local[cpus/8] vs
+    # local[cpus/2] is still a 4x parallelism ratio.
+    lo = max(2, cpus // 8)
+    hi = lo * 4
     # ~10M postings: CPU-bound for tens of seconds per leg, yet below the
     # sandbox's shared-local-disk shuffle/write saturation point (at ~20M+
     # postings both legs flatline at the same disk-bound postings/sec —
@@ -175,7 +180,7 @@ def main() -> None:
     transcripts(gen, n_conv_scale).write.mode("overwrite").parquet(tdir + "/scale")
     gen.stop()
     scaling = {}
-    for label, cores in [("n", lo), ("4n", cpus)]:
+    for label, cores in [("n", lo), ("4n", hi)]:
         s = _mk_spark(cores, f"splade_scale_{label}")
         s.sparkContext.setLogLevel("ERROR")
         p, bsec, psec, qfn = _engine_job(
@@ -196,7 +201,7 @@ def main() -> None:
             "queries_per_sec": round(200 / qsec, 1),
         }
         s.stop()
-    ratio = cpus / lo
+    ratio = hi / lo
     scaling["efficiency_build"] = round(
         scaling["4n"]["postings_per_sec"]
         / (scaling["n"]["postings_per_sec"] * ratio),
