@@ -190,6 +190,74 @@ def lsh_cosine_topk(
     return brute_cosine_topk(cands, query_vectors, k, id_col, vec_col)
 
 
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = SEED) -> np.ndarray:
+    """Tiny seeded Lloyd's k-means on a driver-side sample (centroid init =
+    random sample rows). Deterministic; good enough for IVF routing."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        d = sample @ cent.T
+        assign = d.argmax(axis=1)  # cosine on normalized rows
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_vectors: pd.DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> DataFrame:
+    """IVF ANN: route vectors to their nearest centroid (coarse quantizer
+    trained on a seeded sample), probe the query's nprobe nearest centroid
+    cells, exact-rerank inside. nprobe=n_centroids degenerates to exact.
+
+    At 100 TB the cell assignment is one mapInPandas pass (matmul per Arrow
+    batch) and a write partitioned by cell; queries touch nprobe cells —
+    partition pruning does the rest."""
+    spark = embeddings.sparkSession
+    sample = pd.DataFrame(
+        embeddings.select(vec_col).limit(sample_size).toPandas()
+    )
+    smat = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
+    cent = _kmeans(smat, n_centroids, seed=seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": (mat @ c.T).argmax(axis=1)}
+            )
+
+    cells = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cell int"
+    )
+    qmat = _normalize(np.array(query_vectors["embedding"].tolist(), dtype=np.float64))
+    probe_cells = set(
+        int(c) for row in (qmat @ cent.T).argsort(axis=1)[:, ::-1][:, :nprobe]
+        for c in row
+    )
+    cand_ids = cells.filter(F.col("cell").isin(list(probe_cells))).select(id_col)
+    cands = embeddings.join(cand_ids, id_col, "left_semi")
+    return brute_cosine_topk(cands, query_vectors, k, id_col, vec_col)
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     tau: float = 0.95,

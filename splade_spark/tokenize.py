@@ -52,6 +52,15 @@ def term_freqs(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def scrub_terms(term_rows: DataFrame, sentinel_terms: list[str]) -> DataFrame:
+    """P9 special-token scrub: drop sentinel/stopword terms from a term-row
+    table (reference zeroes PAD/CLS/SEP/MASK dims,
+    splade/utils/utils.py:92-104). JVM-side anti-filter on term string."""
+    from pyspark.sql import functions as F
+
+    return term_rows.filter(~F.col("term").isin(sentinel_terms))
+
+
 def query_term_freqs(queries: DataFrame) -> DataFrame:
     """(query_id, term, term_id, qtf) — query-side sparse vectors.
 
