@@ -86,3 +86,35 @@ def test_rows_only_queries_run(spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_engine_rank_identical_at_sf001(spark, tmp_path):
+    """Driver-scale rank-identity: the compressed-index + WAND engine equals
+    the quantized DataFrame oracle on the sf0.01 documents corpus."""
+    from pyspark.sql import functions as F
+
+    from splade_spark.bm25 import bm25_topk, bm25_weights, quantization_scale, quantize
+    from splade_spark.index.build import build_index, load_postings
+    from splade_spark.query.wand import retrieve
+    from splade_spark.stats import corpus_stats
+    from splade_spark.tokenize import term_freqs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tf = term_freqs(docs).cache()
+    n, avgdl = corpus_stats(tf)
+    w = bm25_weights(tf, n, avgdl).withColumn("term_id", F.xxhash64("term")).cache()
+    scale = quantization_scale(w)
+    path = str(tmp_path / "idx")
+    build_index(w.select("doc_id", "term_id", "weight"), path, scale, num_shards=8)
+    qt = spark.createDataFrame(
+        entrymod._query_terms(), "query_id string, term string, qtf int"
+    ).withColumn("term_id", F.xxhash64("term"))
+    engine = retrieve(load_postings(spark, path), qt, scale, k=50)
+    oracle = bm25_topk(quantize(w, scale), qt, k=50, scale=scale)
+    e = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in engine.collect()
+    )
+    o = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in oracle.collect()
+    )
+    assert e == o
