@@ -31,10 +31,10 @@ makes per-shard writes idempotent.
 from __future__ import annotations
 
 import json
-import math
+
 import os
 import time
-from collections.abc import Iterable
+
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 import numpy as np
 
-from .build import POSTINGS_SCHEMA, build_index, read_index_meta
+from .build import POSTINGS_SCHEMA, read_index_meta
 from .codec import decode_block, encode_blocks
 
 
