@@ -421,6 +421,22 @@ def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via hyperplane LSH + exact rerank (rows-only check;
+    recall asserted against brute force in tests)."""
+    from splade_spark.pipeline.similarity import lsh_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).toPandas()
+    import pandas as pd
+
+    qv = pd.DataFrame(
+        {"query_id": [f"v{i}" for i in q["vec_id"]], "embedding": q["embedding"].tolist()}
+    )
+    res = lsh_cosine_topk(emb, qv, k=5, nbits=10)
+    return res.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke (synthetic assets; rows-only check)."""
     from splade_spark.pipeline.multimodal import extract_features, synthetic_assets
@@ -459,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "revenue_top5": q_revenue_top5,
         "engine_bm25_topk": q_engine_bm25_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
     }
 

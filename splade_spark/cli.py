@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
     ep.add_argument("--run", required=True)
     ep.add_argument("--qrels", required=True, help="qrels json")
 
+    mp = sub.add_parser("merge", help="tiered merge of index segments")
+    mp.add_argument("--segments", required=True, nargs="+")
+    mp.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -132,6 +136,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         qrels = read_qrels_json(spark, args.qrels)
         print(json.dumps(evaluate(runs, qrels)))
+
+    elif args.cmd == "merge":
+        from .index.merge import merge_indexes
+
+        t0 = time.time()
+        out = merge_indexes(spark, args.segments, args.out)
+        _log(f"merge: {json.dumps(out)} wall={time.time() - t0:.2f}s")
 
     return 0
 

@@ -69,7 +69,13 @@ def merge_postings(
 def merge_indexes(
     spark: SparkSession, segment_paths: list[str], out_path: str
 ) -> dict:
-    """Merge on-disk index segments (identical meta) into out_path."""
+    """Merge on-disk index segments (identical meta) into out_path.
+
+    Segments must cover **disjoint docID ranges** (the incremental indexer
+    allocates contiguous ranges above a persisted watermark —
+    streaming/incremental.py). Two independent `cli build` runs both start
+    doc ids at 0; merging those would silently alias different documents,
+    so overlapping ranges are rejected."""
     metas = [read_index_meta(p) for p in segment_paths]
     scale = metas[0]["scale"]
     num_shards = metas[0]["num_shards"]
@@ -78,6 +84,16 @@ def merge_indexes(
         m["scale"] == scale and m["num_shards"] == num_shards for m in metas
     ), "segments must share quantization scale and shard count"
     segs = [spark.read.parquet(p) for p in segment_paths]
+    ranges = sorted(
+        tuple(s.agg(F.min("first_doc"), F.max("last_doc")).collect()[0])
+        for s in segs
+    )
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        if lo_b <= hi_a:
+            raise ValueError(
+                f"segment docID ranges overlap ({lo_a}..{hi_a} vs {lo_b}..): "
+                "merge requires docID-disjoint segments (watermark-allocated)"
+            )
     merged = merge_postings(segs, scale, block_size)
     (
         merged.write.mode("overwrite")
