@@ -80,7 +80,10 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.time()
         tr = spark.read.parquet(args.transcripts)
         docs = build_documents(tr)
-        tf = term_freqs(docs)
+        # cached: consumed by corpus stats, the df aggregation inside
+        # bm25_weights, quantization, and the build shuffle — uncached this
+        # lineage would tokenize the corpus four times
+        tf = term_freqs(docs).cache()
         n, avgdl = corpus_stats(tf)
         _log(f"corpus: N={n} avgdl={avgdl:.2f} ({time.time() - t0:.1f}s)")
         w = bm25_weights(tf, n, avgdl).select("doc_id", "term_id", "weight")
