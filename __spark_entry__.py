@@ -392,6 +392,55 @@ def q_revenue_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate groupBy over the fact table (TPC-H Q1 shape) —
+    exercises map-side partial aggregation over the largest driver table."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min of user
+    inactivity (lag + conditional cumsum over an event-time window) —
+    per-user session counts and mean session length."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+        ).cast("int"),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+        F.sum("n_events").alias("n_events_total"),
+    )
+
+
 def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full compressed-index + block-max-WAND engine path (no SQL
     oracle — rank-identity to the DataFrame oracle is pytest-asserted;
@@ -473,6 +522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_label_norms": q_emb_label_norms,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "lineitem_pricing": q_lineitem_pricing,
         "revenue_top5": q_revenue_top5,
         "engine_bm25_topk": q_engine_bm25_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -760,6 +811,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
               count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 6) AS avg_qty,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH gaps AS (
+              SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS prev_ts
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM gaps
+            ),
+            sess AS (
+              SELECT user_id,
+                sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            ),
+            per_session AS (
+              SELECT user_id, session_id, count(*) AS n_events
+              FROM sess GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions,
+              round(avg(n_events), 6) AS avg_events_per_session,
+              sum(n_events) AS n_events_total
+            FROM per_session GROUP BY 1
         """,
         "revenue_top5": """
             WITH rev AS (
