@@ -96,7 +96,18 @@ def _engine_job(
     def query_once() -> int:
         return retrieve(postings, qt, scale, k=k, num_shards=num_shards).count()
 
-    return metrics["postings"], build_sec, pipeline_sec, query_once
+    def single_query_latencies(n_single: int = 15) -> list[float]:
+        """Per-query latency samples: one retrieve per query (the BASELINE
+        target is per-query p95, distinct from batch throughput)."""
+        out = []
+        for qid in qt["query_id"].unique()[:n_single]:
+            one = qt[qt["query_id"] == qid]
+            t0 = time.time()
+            retrieve(postings, one, scale, k=k, num_shards=num_shards).count()
+            out.append(time.time() - t0)
+        return out
+
+    return metrics["postings"], build_sec, pipeline_sec, query_once, single_query_latencies
 
 
 def main() -> None:
@@ -121,7 +132,7 @@ def main() -> None:
     transcripts(spark, n_conv).write.mode("overwrite").parquet(tdir + "/head")
 
     # --- engine: build + query at full parallelism -------------------------
-    postings_n, build_sec, pipeline_sec, query_once = _engine_job(
+    postings_n, build_sec, pipeline_sec, query_once, single_lat = _engine_job(
         spark, tdir + "/head", num_shards
     )
     timings["index_build"] = round(build_sec, 3)
@@ -137,6 +148,11 @@ def main() -> None:
     lat.sort()
     timings["bm25_query_p50"] = round(lat[len(lat) // 2], 3)
     timings["bm25_query_p95"] = round(lat[min(len(lat) - 1, math.ceil(0.95 * len(lat)) - 1)], 3)
+    sl = sorted(single_lat())
+    timings["bm25_single_query_p50"] = round(sl[len(sl) // 2], 3)
+    timings["bm25_single_query_p95"] = round(
+        sl[min(len(sl) - 1, math.ceil(0.95 * len(sl)) - 1)], 3
+    )
 
     # --- driver-table suite -------------------------------------------------
     import __spark_entry__ as em
@@ -183,7 +199,7 @@ def main() -> None:
     for label, cores in [("n", lo), ("4n", hi)]:
         s = _mk_spark(cores, f"splade_scale_{label}")
         s.sparkContext.setLogLevel("ERROR")
-        p, bsec, psec, qfn = _engine_job(
+        p, bsec, psec, qfn, _sl = _engine_job(
             s, tdir + "/scale", num_shards, k=100, n_queries=200
         )
         qfn()  # warm (plans, Arrow workers)
