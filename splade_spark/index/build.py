@@ -212,7 +212,13 @@ def build_index(
     elapsed = time.time() - t0
 
     # per-shard postings counts for ledger metrics (cheap: parquet footer agg)
-    built = spark.read.parquet(path).filter(F.col("shard_id").isin(pending))
+    # explicit schema: an empty corpus writes no files, and schema inference
+    # on an empty partitioned dir fails
+    built = (
+        spark.read.schema(POSTINGS_SCHEMA)
+        .parquet(path)
+        .filter(F.col("shard_id").isin(pending))
+    )
     counts = {
         int(r["shard_id"]): int(r["p"])
         for r in built.groupBy("shard_id").agg(F.sum("n").alias("p")).collect()
@@ -261,7 +267,7 @@ def read_index_meta(path: str) -> dict:
 
 
 def load_postings(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    return spark.read.schema(POSTINGS_SCHEMA).parquet(path)
 
 
 def index_dist_from_postings(postings: DataFrame) -> DataFrame:

@@ -97,6 +97,23 @@ def test_engine_rank_identical_to_oracle(spark, corpus, tmp_path):
         assert o == e, f"mismatch at k={k} threshold={threshold}"
 
 
+def test_empty_corpus_build_and_query(spark, tmp_path):
+    """Empty input: build succeeds (0-posting index + full ledger), resume
+    is a no-op, and retrieval returns no rows without error."""
+    import pandas as pd
+
+    empty_w = spark.createDataFrame([], "doc_id long, term_id long, weight double")
+    path = str(tmp_path / "empty_idx")
+    m = build_index(empty_w, path, scale=10.0, num_shards=4)
+    assert m["built_shards"] == 4 and m["postings"] == 0
+    postings = load_postings(spark, path)
+    assert postings.count() == 0
+    qt = pd.DataFrame({"query_id": ["q1"], "term_id": [123], "qtf": [1]})
+    assert retrieve(postings, qt, 10.0, k=5, num_shards=4).count() == 0
+    m2 = build_index(empty_w, path, scale=10.0, num_shards=4)
+    assert m2["skipped_shards"] == 4
+
+
 def test_engine_pruned_equals_exact(spark, corpus, tmp_path):
     tf, w, scale = corpus
     path = str(tmp_path / "idx3")
