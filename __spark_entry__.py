@@ -418,11 +418,19 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user session counts and mean session length."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff(MICROSECOND) keeps sub-second precision — the previous
+    # unix_timestamp() truncated to whole seconds while the oracle's epoch()
+    # keeps microseconds, which can flip a session boundary for gaps in
+    # (1800, 1801) s. Calendar arithmetic on TIMESTAMP_NTZ is also
+    # timezone-independent (no NTZ→LTZ cast in the comparison).
     gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "new_session",
         (
             F.col("prev_ts").isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+            | (
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                > 1800 * 1_000_000
+            )
         ).cast("int"),
     )
     sess = gaps.withColumn(
@@ -851,7 +859,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, count(*) AS n_sessions,
               round(avg(n_events), 6) AS avg_events_per_session,
-              sum(n_events) AS n_events_total
+              sum(n_events)::BIGINT AS n_events_total
             FROM per_session GROUP BY 1
         """,
         "revenue_top5": """

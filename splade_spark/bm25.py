@@ -73,8 +73,13 @@ def quantize(weights: DataFrame, scale: float) -> DataFrame:
     to 2^53), and ``bm25_topk(..., scale=scale)`` divides the final sum —
     so the oracle and the compressed engine produce bit-identical scores
     regardless of float summation order. This mirrors PISA's
-    `--scorer quantized` (efficient_splade_pisa/README.md:35-36)."""
-    return weights.withColumn("weight", F.round(F.col("weight") * scale))
+    `--scorer quantized` (efficient_splade_pisa/README.md:35-36).
+
+    bround (HALF_EVEN) — NOT F.round (HALF_UP) — so this path shares one
+    rounding mode with the index encoder's np.rint (codec.quantize_weights),
+    keeping the engine==oracle invariant exact even for weight*scale
+    products landing exactly on .5."""
+    return weights.withColumn("weight", F.bround(F.col("weight") * scale))
 
 
 def bm25_topk(

@@ -116,12 +116,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         qt = query_term_freqs(queries)
         t0 = time.time()
+        # num_shards from the meta kills an extra max(shard_id) Spark job
+        # (a full postings scan) per query batch
         runs = retrieve(
             load_postings(spark, args.index),
             qt,
             meta["scale"],
             k=args.k,
             threshold=args.threshold,
+            num_shards=meta["num_shards"],
+            bits=meta.get("bits", 8),
         )
         write_runs_parquet(runs, args.out)
         _log(f"query: k={args.k} wall={time.time() - t0:.2f}s → {args.out}")

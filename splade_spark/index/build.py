@@ -60,6 +60,7 @@ def build_postings(
     scale: float,
     num_shards: int = 32,
     block_size: int = BLOCK_SIZE,
+    bits: int = 8,
 ) -> DataFrame:
     """(doc_id, term_id, weight) → compressed posting blocks.
 
@@ -100,6 +101,7 @@ def build_postings(
                         body["weight"].to_numpy(),
                         scale,
                         block_size=block_size,
+                        bits=bits,
                     )
                 )
         if pending is not None and len(pending):
@@ -111,6 +113,7 @@ def build_postings(
                     pending["weight"].to_numpy(),
                     scale,
                     block_size=block_size,
+                    bits=bits,
                 )
             )
 
@@ -156,6 +159,14 @@ def _write_ledger_entry(path: str, entry: dict) -> None:
     os.replace(tmp, dst)  # atomic per-partition commit
 
 
+def _write_index_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "._index_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "_index_meta.json"))
+
+
 def build_index(
     weights: DataFrame,
     path: str,
@@ -164,6 +175,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     resume: bool = True,
     lineage: dict | None = None,
+    bits: int = 8,
 ) -> dict:
     """Resumable sharded index build → parquet at `path`, partitioned by
     shard_id, plus a per-shard checkpoint ledger with lineage + metrics.
@@ -182,7 +194,19 @@ def build_index(
         "elapsed_s": 0.0,
         "postings_per_sec": 0.0,
     }
+    meta = {
+        "scale": scale,
+        "num_shards": num_shards,
+        "block_size": block_size,
+        "bits": bits,
+        "lineage": lineage or {},
+    }
     if not pending:
+        # repair path: a build killed between the last ledger write and the
+        # meta write would otherwise leave an index the query path can't
+        # open, and resume would never fix it (pending is empty)
+        if not os.path.exists(os.path.join(path, "_index_meta.json")):
+            _write_index_meta(path, meta)
         return metrics
 
     t0 = time.time()
@@ -194,6 +218,7 @@ def build_index(
         scale,
         num_shards=num_shards,
         block_size=block_size,
+        bits=bits,
     )
     # Range-repartition the (small) encoded blocks so each shard writes ~one
     # term-sorted file: without this, encode_partitions × shards files get
@@ -241,18 +266,12 @@ def build_index(
                 "scale": scale,
                 "num_shards": num_shards,
                 "block_size": block_size,
+                "bits": bits,
                 "lineage": lineage or {},
             },
         )
-    # index-level metadata (scale is needed to score)
-    meta = {
-        "scale": scale,
-        "num_shards": num_shards,
-        "block_size": block_size,
-        "lineage": lineage or {},
-    }
-    with open(os.path.join(path, "_index_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    # index-level metadata (scale + bits are needed to score)
+    _write_index_meta(path, meta)
     metrics.update(
         postings=total,
         elapsed_s=elapsed,

@@ -83,10 +83,19 @@ def merge_indexes(
     assert all(
         m["scale"] == scale and m["num_shards"] == num_shards for m in metas
     ), "segments must share quantization scale and shard count"
-    segs = [spark.read.parquet(p) for p in segment_paths]
+    # explicit schema: an empty segment (no parquet files under the
+    # partition dirs) fails schema inference; its (None, None) range is
+    # skipped below rather than TypeError-ing against int ranges
+    segs = [
+        spark.read.schema(POSTINGS_SCHEMA).parquet(p) for p in segment_paths
+    ]
     ranges = sorted(
-        tuple(s.agg(F.min("first_doc"), F.max("last_doc")).collect()[0])
-        for s in segs
+        r
+        for r in (
+            tuple(s.agg(F.min("first_doc"), F.max("last_doc")).collect()[0])
+            for s in segs
+        )
+        if r[0] is not None
     )
     for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
         if lo_b <= hi_a:

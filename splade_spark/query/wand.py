@@ -53,6 +53,7 @@ def _score_query_in_shard(
     scale: float,
     prune: bool,
     decoded: dict | None = None,
+    bits: int = 8,
 ) -> tuple[np.ndarray, np.ndarray]:
     """terms: [(term_id, qtf, firsts, lasts, bmax_q, block_rows)] per query
     term present in this shard; block_rows[j] = (first, n, doc_bytes,
@@ -89,6 +90,7 @@ def _score_query_in_shard(
     theta = theta0
     if decoded is None:
         decoded = {}
+    wdtype = np.uint8 if bits <= 8 else np.uint16  # must match codec bits
 
     pos = 0
     while pos < m:
@@ -114,8 +116,8 @@ def _score_query_in_shard(
                     blk = decoded.get(key)
                     if blk is None:
                         first, n, dbytes, wbytes = rows[j]
-                        d, _ = decode_block(first, n, dbytes, wbytes, scale)
-                        q = np.frombuffer(wbytes, dtype=np.uint8).astype(np.int64)
+                        d, _ = decode_block(first, n, dbytes, wbytes, scale, bits)
+                        q = np.frombuffer(wbytes, dtype=wdtype).astype(np.int64)
                         blk = (d, q)
                         decoded[key] = blk
                     d, q = blk
@@ -149,12 +151,18 @@ def retrieve(
     threshold: float = 0.0,
     prune: bool = True,
     num_shards: int | None = None,
+    bits: int = 8,
 ) -> DataFrame:
     """Top-k BM25 over a block-compressed sharded index.
 
     postings: index/build.py layout; query_terms: (query_id, term_id, qtf).
     Returns (query_id, doc_id, score double, rank int), rank-identical to
     ``bm25.bm25_topk`` on integer-quantized weights.
+
+    num_shards: pass the value from _index_meta.json — when omitted, an
+    extra max(shard_id) Spark job runs per batch (a full postings-scan in
+    a query-serving loop). bits: quantization width from the same meta
+    (u8/u16 weight bytes decode differently; a mismatch is garbage scores).
     """
     spark = postings.sparkSession
     if isinstance(query_terms, pd.DataFrame):
@@ -227,7 +235,8 @@ def retrieve(
                     if int(t) in by_term
                 ]
                 docs, scores = _score_query_in_shard(
-                    terms, k, theta0, scale, prune, decoded=shard_cache
+                    terms, k, theta0, scale, prune, decoded=shard_cache,
+                    bits=bits,
                 )
                 out_q.extend([qid] * len(docs))
                 out_d.extend(docs.tolist())
