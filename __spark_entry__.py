@@ -450,9 +450,12 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full compressed-index + block-max-WAND engine path (no SQL
-    oracle — rank-identity to the DataFrame oracle is pytest-asserted;
-    driver records the rows-only check)."""
+    """The full compressed-index + block-max-WAND engine path.
+
+    SQL-oracle-checkable because the engine scores in the exact integer
+    quantized domain: scale = 255/max(weight), per-posting impact
+    round_even(weight*scale) (np.rint == bround == DuckDB round_even,
+    all HALF_EVEN), integer sum, divide by scale at the end."""
     import tempfile
 
     from splade_spark.bm25 import bm25_weights, quantization_scale
@@ -470,7 +473,9 @@ def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = spark.createDataFrame(
         _query_terms(), "query_id string, term string, qtf int"
     ).withColumn("term_id", F.xxhash64("term"))
-    return retrieve(load_postings(spark, path), qt, scale, k=10).select(
+    return retrieve(
+        load_postings(spark, path), qt, scale, k=10, num_shards=8
+    ).select(
         "query_id",
         "doc_id",
         F.round("score", 6).alias("score"),
@@ -861,6 +866,30 @@ def oracle_sql() -> dict[str, str]:
               round(avg(n_events), 6) AS avg_events_per_session,
               sum(n_events)::BIGINT AS n_events_total
             FROM per_session GROUP BY 1
+        """,
+        "engine_bm25_topk": f"""
+            WITH {_BM25_W},
+            sc AS (SELECT 255.0 / max(weight) AS scale FROM w),
+            qz AS (
+              SELECT doc_id, term,
+                CAST(round_even(weight * (SELECT scale FROM sc), 0) AS BIGINT)
+                  AS qw
+              FROM w
+            ),
+            s AS (
+              SELECT query_id, doc_id, sum(qtf * qw) AS si
+              FROM qz JOIN {_qt_values()} USING (term)
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT query_id, doc_id, si,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY si DESC, doc_id) AS rank
+              FROM s WHERE si > 0
+            )
+            SELECT query_id, doc_id,
+              round(si / (SELECT scale FROM sc), 6) AS score, rank
+            FROM r WHERE rank <= 10
         """,
         "revenue_top5": """
             WITH rev AS (
