@@ -271,12 +271,22 @@ def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (no SQL oracle: bit-level op)."""
+    """SimHash near-dups, SQL-oracle-checked: term projections come from
+    the shared polyhash (fingerprint_col ≡ the oracle's list_reduce), the
+    signature is an exact integer ±tf bit vote, and the engine's banded
+    candidate join is pigeonhole-complete for hamming ≤ 3 — so the oracle
+    can be brute-force all-pairs bit_count(xor) and must agree exactly."""
     from splade_spark.pipeline.dedup import simhash_near_dup_pairs, simhash_signatures
+    from splade_spark.pipeline.textstats import fingerprint_col
     from splade_spark.tokenize import term_freqs
 
-    sigs = simhash_signatures(term_freqs(_docs(spark, sf_dir)))
-    return simhash_near_dup_pairs(sigs, max_hamming=10)
+    tf = term_freqs(_docs(spark, sf_dir)).withColumn(
+        "h", fingerprint_col(F.col("term"))
+    )
+    sigs = simhash_signatures(tf, hash_col="h")
+    return simhash_near_dup_pairs(sigs, max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,6 +741,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = doc_a
             JOIN sz sb ON sb.doc_id = doc_b
             WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "simhash_dups": f"""
+            WITH {_TF},
+            th AS (
+              SELECT doc_id, tf,
+                list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(string_split(term, ''),
+                                   c -> ord(c)::BIGINT)),
+                  (acc, c) -> (acc * 31 + c) % {fp_mod}
+                ) AS h
+              FROM tf
+            ),
+            -- hash < 2^56, so bits 56..63 are never set (votes are all -tf)
+            bits AS (
+              SELECT doc_id, i,
+                sum(CASE WHEN ((h >> i) & 1) = 1 THEN tf ELSE -tf END) AS acc
+              FROM th, unnest(range(0, 56)) AS r(i)
+              GROUP BY 1, 2
+            ),
+            sig AS (
+              SELECT doc_id,
+                sum(CASE WHEN acc > 0 THEN (1::BIGINT << i)
+                         ELSE 0 END)::BIGINT AS simhash
+              FROM bits GROUP BY 1
+            )
+            -- brute-force all-pairs: the engine's banded join is
+            -- pigeonhole-complete for hamming <= 3, so the sets must match
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "token_counts": """
             SELECT doc_id,

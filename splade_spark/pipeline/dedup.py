@@ -257,31 +257,81 @@ def minhash_dedup_pairs(
 
 
 def simhash_signatures(
-    term_freqs: DataFrame, id_col: str = "doc_id"
+    term_freqs: DataFrame, id_col: str = "doc_id", hash_col: str = "term_id"
 ) -> DataFrame:
     """(doc_id, simhash long): 64-bit tf-weighted SimHash.
 
-    Input: (doc_id, term_id, tf) — term_id is already a 64-bit hash
-    (xxhash64), so its bits are the per-term random projection. One Arrow
-    grouped-map; bit unpacking vectorized in numpy."""
+    Input: (doc_id, hash_col, tf) — hash_col is a 64-bit-ish hash of the
+    term (xxhash64 by default; pass a polyhash column for SQL-oracle
+    parity), its bits are the per-term random projection.
 
-    def sim(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["term_id"].to_numpy(np.int64).view(np.uint64)
-        tf = pdf["tf"].to_numpy(np.float64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.float64
-        )
-        acc = ((bits * 2 - 1) * tf[:, None]).sum(axis=0)
-        sig = np.uint64(0)
-        for i in np.flatnonzero(acc > 0):
-            sig |= np.uint64(1) << np.uint64(i)
-        return pd.DataFrame(
-            {id_col: [pdf[id_col].iloc[0]], "simhash": [np.int64(sig)]}
-        )
-
-    return term_freqs.groupBy(id_col).applyInPandas(
-        sim, schema=f"{id_col} long, simhash long"
+    Shape at scale: one repartition(doc) + sortWithinPartitions(doc), then
+    a *streaming* mapInPandas — each Arrow batch computes all its complete
+    docs' signatures in one vectorized pass (bit unpack → ±tf contribution
+    → per-doc np.add.reduceat), carrying the trailing possibly-incomplete
+    doc into the next batch. The previous groupBy(doc).applyInPandas built
+    a pandas DataFrame *per document* — per-group overhead dominates at
+    10⁹ docs. Accumulation is exact int64 (tf is integral), so signatures
+    are deterministic and SQL-reproducible."""
+    spark = term_freqs.sparkSession
+    src = term_freqs.select(id_col, F.col(hash_col).alias("_h"), "tf")
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        spark.sparkContext.defaultParallelism,
     )
+    arranged = src.repartition(n_part, id_col).sortWithinPartitions(id_col)
+
+    def _compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["_h"].to_numpy(np.int64).view(np.uint64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        doc = pdf[id_col].to_numpy()
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        contrib = (2 * bits - 1) * tf[:, None]
+        starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+        acc = np.add.reduceat(contrib, starts, axis=0)
+        pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sig = ((acc > 0).astype(np.uint64) * pow2[None, :]).sum(axis=1)
+        return pd.DataFrame(
+            {id_col: doc[starts], "simhash": sig.view(np.int64)}
+        )
+
+    def kernel(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            d = pdf[id_col].to_numpy()
+            not_tail = np.flatnonzero(d != d[-1])
+            cut = int(not_tail[-1]) + 1 if len(not_tail) else 0
+            pending = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield _compute(body)
+        if pending is not None and len(pending):
+            yield _compute(pending)
+
+    return arranged.mapInPandas(kernel, schema=f"{id_col} long, simhash long")
+
+
+def simhash_band_specs(max_hamming: int) -> list[tuple[int, int, int]]:
+    """(band, shift, width) triples partitioning the 64 signature bits into
+    max_hamming+1 bands — the pigeonhole guarantee: any pair within
+    max_hamming differing bits shares at least one *identical* band."""
+    nbands = max_hamming + 1
+    if nbands > 64:
+        raise ValueError("max_hamming >= 64 makes every pair a candidate")
+    base, rem = divmod(64, nbands)
+    specs, off = [], 0
+    for b in range(nbands):
+        w = base + (1 if b < rem else 0)
+        specs.append((b, off, w))
+        off += w
+    return specs
 
 
 def simhash_near_dup_pairs(
@@ -289,17 +339,25 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs within max_hamming bits.
 
-    Banding: 4 16-bit bands — any pair with hamming ≤ 3 shares ≥1 exact
-    band (pigeonhole), so candidate generation is a bucket equi-join."""
+    Banding: max_hamming+1 bands partitioning the 64 bits — any pair with
+    hamming ≤ max_hamming shares ≥1 exact band (pigeonhole), so candidate
+    generation is complete and is a bucket equi-join. Large max_hamming
+    means narrow bands (64/(d+1) bits) whose buckets collide heavily — at
+    corpus scale keep max_hamming small (≤7) or pre-partition by a coarse
+    key."""
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("v"),
+                (
+                    F.col("simhash")
+                    if w >= 64
+                    else F.shiftright(F.col("simhash"), off).bitwiseAND(
+                        F.lit((1 << w) - 1)
+                    )
+                ).alias("v"),
             )
-            for b in range(4)
+            for b, off, w in simhash_band_specs(max_hamming)
         ]
     )
     banded = signatures.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
