@@ -33,10 +33,20 @@ def normalized_text(col):
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, canonical_id): canonical = min id among docs with identical
-    normalized text. Docs equal to their canonical are originals."""
-    norm = df.select(id_col, normalized_text(F.col(text_col)).alias("_norm"))
-    canon = norm.groupBy("_norm").agg(F.min(id_col).alias("canonical_id"))
-    return norm.join(canon, "_norm").select(id_col, "canonical_id")
+    normalized text. Docs equal to their canonical are originals.
+
+    Groups/joins on sha2-256 of the normalized text, not the text itself —
+    the shuffle key drops from ~KB to 32 bytes per row, which at corpus
+    scale is the difference between a feasible and an absurd shuffle (the
+    text would otherwise cross the wire twice: groupBy + join-back).
+    sha2-256 over xxhash64 because a 64-bit digest has ~n²/2^65 birthday
+    collision odds (≈3% at 10⁹ docs — a silent false merge); 256 bits is
+    collision-free for any realistic corpus."""
+    norm = df.select(
+        id_col, F.sha2(normalized_text(F.col(text_col)), 256).alias("_k")
+    )
+    canon = norm.groupBy("_k").agg(F.min(id_col).alias("canonical_id"))
+    return norm.join(canon, "_k").select(id_col, "canonical_id")
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
