@@ -8,11 +8,19 @@ segments are folded with a tiered merge, the standard log-structured policy
 (reference delegates this to Lucene/PISA whose segment merging is the same
 idea; in-repo, the reference rebuilds from scratch — inverted_index.py:23-46).
 
-The merge itself is one Spark job: union the segments' postings, group by
-(shard_id, term_id), decode + k-way concat by docID + re-encode in an Arrow
-grouped-map. Because shards partition docID space identically in every
-segment (same num_shards), the merge never crosses shards — the shuffle is
-bounded per (shard, term) exactly like the build.
+The merge itself is one Spark job: union the segments' postings (still
+block-compressed — the shuffle carries compressed blocks, never raw posting
+rows), repartition by (shard, term) + sortWithinPartitions(shard, term,
+first_doc), then a *streaming* mapInPandas that decodes, concatenates by
+docID and re-encodes every complete (shard, term) group per Arrow batch,
+carrying the trailing possibly-incomplete group into the next batch — the
+same carry-the-tail shape as the build encoder (build.py:encode_stream).
+A per-group applyInPandas is wrong here for the same reason it was wrong
+in the build: Zipf tails create millions of tiny (shard, term) groups and
+per-group pandas overhead dominates. Because shards partition docID space
+identically in every segment (same num_shards), the merge never crosses
+shards; segments are docID-disjoint, so blocks sorted by first_doc
+concatenate into a globally docID-sorted list per group.
 """
 
 from __future__ import annotations
@@ -24,46 +32,77 @@ from pyspark.sql import functions as F
 import numpy as np
 
 from .build import POSTINGS_SCHEMA, read_index_meta
-from .codec import decode_block, encode_blocks
+from .codec import decode_block, encode_groups
 
 
 def merge_postings(
-    segments: list[DataFrame], scale: float, block_size: int = 128
+    segments: list[DataFrame],
+    scale: float,
+    block_size: int = 128,
+    bits: int = 8,
 ) -> DataFrame:
-    """Merge docID-sorted posting segments into one postings DataFrame."""
+    """Merge docID-sorted posting segments into one postings DataFrame.
+
+    Streaming re-encode (see module docstring): one repartition of the
+    compressed blocks, then all complete (shard, term) groups in each
+    Arrow batch are decoded + re-encoded in a single vectorized
+    encode_groups pass. Requantization round-trips exactly:
+    rint((q/scale)*scale) == q."""
     unioned = segments[0]
     for s in segments[1:]:
         unioned = unioned.unionByName(s)
+    spark = unioned.sparkSession
+    # explicit partition count — AQE would coalesce this CPU-heavy,
+    # byte-light stage down to a handful of partitions
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        spark.sparkContext.defaultParallelism * 2,
+    )
+    arranged = unioned.repartition(
+        n_part, "shard_id", "term_id"
+    ).sortWithinPartitions("shard_id", "term_id", "first_doc")
 
-    def remerge(pdf: pd.DataFrame) -> pd.DataFrame:
-        shard = int(pdf["shard_id"].iloc[0])
-        term = int(pdf["term_id"].iloc[0])
+    def _reencode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_arr = pdf["n"].to_numpy()
         docs_all, w_all = [], []
-        for r in pdf.itertuples(index=False):
-            d, w = decode_block(r.first_doc, r.n, r.doc_bytes, r.w_bytes, scale)
+        for first, n, db, wb in zip(
+            pdf["first_doc"], pdf["n"], pdf["doc_bytes"], pdf["w_bytes"]
+        ):
+            d, w = decode_block(int(first), int(n), db, wb, scale, bits)
             docs_all.append(d)
             w_all.append(w)
-        docs = np.concatenate(docs_all)
+        doc = np.concatenate(docs_all)
         w = np.concatenate(w_all)
-        rows = encode_blocks(docs, w, scale, block_size=block_size)
-        out = pd.DataFrame(
-            rows,
-            columns=[
-                "block_id", "first_doc", "last_doc", "n",
-                "doc_bytes", "w_bytes", "block_max_f",
-            ],
+        shard_rep = np.repeat(pdf["shard_id"].to_numpy(), n_arr)
+        term_rep = np.repeat(pdf["term_id"].to_numpy(), n_arr)
+        return pd.DataFrame(
+            encode_groups(
+                shard_rep, term_rep, doc, w, scale,
+                block_size=block_size, bits=bits,
+            )
         )
-        out["block_max"] = (out["block_max_f"] * scale).round().astype("int32")
-        out["shard_id"] = shard
-        out["term_id"] = term
-        return out[
-            ["shard_id", "term_id", "block_id", "first_doc", "last_doc",
-             "n", "doc_bytes", "w_bytes", "block_max"]
-        ]
 
-    return unioned.groupBy("shard_id", "term_id").applyInPandas(
-        remerge, schema=POSTINGS_SCHEMA
-    )
+    def reencode_stream(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            s = pdf["shard_id"].to_numpy()
+            t = pdf["term_id"].to_numpy()
+            same_tail = (s == s[-1]) & (t == t[-1])
+            not_tail = np.flatnonzero(~same_tail)
+            cut = int(not_tail[-1]) + 1 if len(not_tail) else 0
+            pending = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield _reencode_rows(body)
+        if pending is not None and len(pending):
+            yield _reencode_rows(pending)
+
+    return arranged.mapInPandas(reencode_stream, schema=POSTINGS_SCHEMA)
 
 
 def merge_indexes(
@@ -103,7 +142,9 @@ def merge_indexes(
                 f"segment docID ranges overlap ({lo_a}..{hi_a} vs {lo_b}..): "
                 "merge requires docID-disjoint segments (watermark-allocated)"
             )
-    merged = merge_postings(segs, scale, block_size)
+    merged = merge_postings(
+        segs, scale, block_size, bits=metas[0].get("bits", 8)
+    )
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -118,6 +159,7 @@ def merge_indexes(
                 "scale": scale,
                 "num_shards": num_shards,
                 "block_size": block_size,
+                "bits": metas[0].get("bits", 8),
                 "lineage": {"merged_from": segment_paths},
             },
             fh,

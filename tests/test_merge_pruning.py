@@ -33,6 +33,12 @@ def test_segment_merge_equals_full_build(spark, corpus, tmp_path):
     build_index(w, pf, scale, num_shards=4)
     merge_indexes(spark, [pa, pb], pm)
 
+    # strongest form: the merged index is BLOCK-identical to the
+    # from-scratch build (same blocking, same bytes), not just
+    # query-equivalent — re-encode round-trips quantized values exactly
+    m, f = load_postings(spark, pm), load_postings(spark, pf)
+    assert m.exceptAll(f).count() == 0 and f.exceptAll(m).count() == 0
+
     qt = query_term_freqs(queries_df(spark)).cache()
     res_m = retrieve(load_postings(spark, pm), qt, scale, k=20)
     res_f = retrieve(load_postings(spark, pf), qt, scale, k=20)
