@@ -47,7 +47,12 @@ def _mk_spark(cores: int, app: str):
 
 
 def _engine_job(
-    spark, transcripts_path: str, num_shards: int, k: int = 10, n_queries: int = 25
+    spark,
+    transcripts_path: str,
+    num_shards: int,
+    k: int = 10,
+    n_queries: int = 25,
+    measure_encode: bool = False,
 ):
     """The measured unit: stored transcripts → compressed index on disk —
     the full pipeline (scan, per-conversation doc agg, tokenize, BM25
@@ -82,6 +87,37 @@ def _engine_job(
     metrics = build_index(w, path, scale, num_shards=num_shards, resume=False)
     build_sec = time.time() - tb0  # index-construction stage proper
     pipeline_sec = time.time() - t0  # transcripts → index end to end
+
+    # encode stage isolated from the parquet write: shuffle + vectorized
+    # block encode, terminated by a tiny agg instead of the file sink.
+    # This is the CPU-bound portion whose scaling the north rule targets —
+    # the sandbox's single shared local disk caps the *write* leg at the
+    # same MB/s regardless of thread count, which on a real cluster scales
+    # with executor count instead. The encode input is the weights table
+    # replicated 3x with shifted doc_ids (~32M postings): a leg must carry
+    # tens of seconds of real work at the narrow width or the fixed
+    # per-stage cost (~2s: scheduling, Arrow worker handshake) swamps the
+    # signal. Warm with the 1x table, then one timed run (the caller takes
+    # min over interleaved repetitions).
+    encode_sec = None
+    encode_postings = None
+    if measure_encode:
+        from pyspark.sql import functions as F
+        from splade_spark.index.build import build_postings
+
+        big = w
+        for i in range(1, 3):
+            big = big.unionByName(
+                w.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            )
+        big = big.cache()
+        encode_postings = big.count()
+        # warm pass on the 1x table (plans, Arrow workers)
+        build_postings(w, scale, num_shards=num_shards).agg(F.sum("n")).collect()
+        e0 = time.time()
+        build_postings(big, scale, num_shards=num_shards).agg(F.sum("n")).collect()
+        encode_sec = time.time() - e0
+        big.unpersist()
     tf.unpersist()
     w.unpersist()
 
@@ -107,7 +143,47 @@ def _engine_job(
             out.append(time.time() - t0)
         return out
 
-    return metrics["postings"], build_sec, pipeline_sec, query_once, single_query_latencies
+    return (
+        metrics["postings"],
+        build_sec,
+        pipeline_sec,
+        query_once,
+        single_query_latencies,
+        encode_sec,
+        encode_postings,
+    )
+
+
+def _merge_bench(spark, transcripts_path: str, num_shards: int) -> tuple[float, int]:
+    """Build two docID-disjoint segments, time merge_indexes over them."""
+    from pyspark.sql import functions as F
+    from splade_spark.bm25 import bm25_weights, quantization_scale
+    from splade_spark.documents import build_documents
+    from splade_spark.index.build import build_index
+    from splade_spark.index.merge import merge_indexes
+    from splade_spark.stats import corpus_stats
+    from splade_spark.tokenize import term_freqs
+
+    d = tempfile.mkdtemp(prefix="splade_bench_m_")
+    docs = build_documents(spark.read.parquet(transcripts_path))
+    tf = term_freqs(docs).cache()
+    n, avgdl = corpus_stats(tf)
+    w = bm25_weights(tf, n, avgdl).select("doc_id", "term_id", "weight").cache()
+    w.count()
+    scale = quantization_scale(w)
+    mid = n // 2
+    pa = build_index(w.filter(F.col("doc_id") < mid), d + "/a", scale,
+                     num_shards=num_shards, resume=False)
+    pb = build_index(w.filter(F.col("doc_id") >= mid), d + "/b", scale,
+                     num_shards=num_shards, resume=False)
+    tf.unpersist()
+    w.unpersist()
+    t0 = time.time()
+    merge_indexes(spark, [d + "/a", d + "/b"], d + "/m")
+    merge_sec = time.time() - t0
+    total = pa["postings"] + pb["postings"]
+    shutil.rmtree(d, ignore_errors=True)
+    return merge_sec, total
 
 
 def main() -> None:
@@ -132,8 +208,8 @@ def main() -> None:
     transcripts(spark, n_conv).write.mode("overwrite").parquet(tdir + "/head")
 
     # --- engine: build + query at full parallelism -------------------------
-    postings_n, build_sec, pipeline_sec, query_once, single_lat = _engine_job(
-        spark, tdir + "/head", num_shards
+    postings_n, build_sec, pipeline_sec, query_once, single_lat, _enc, _encp = (
+        _engine_job(spark, tdir + "/head", num_shards)
     )
     timings["index_build"] = round(build_sec, 3)
     timings["index_pipeline"] = round(pipeline_sec, 3)
@@ -153,6 +229,14 @@ def main() -> None:
     timings["bm25_single_query_p95"] = round(
         sl[min(len(sl) - 1, math.ceil(0.95 * len(sl)) - 1)], 3
     )
+
+    # --- segment merge throughput -------------------------------------------
+    # two docID-disjoint half-corpus segments folded into one index; the
+    # streaming re-encode must not degrade with many tiny (shard, term)
+    # groups (this corpus's Zipf tail IS mostly tiny groups)
+    merge_sec, merge_postings_n = _merge_bench(spark, tdir + "/head", num_shards)
+    timings["segment_merge"] = round(merge_sec, 3)
+    extra["merge_postings_per_sec"] = round(merge_postings_n / merge_sec, 1)
 
     # --- driver-table suite -------------------------------------------------
     import __spark_entry__ as em
@@ -195,32 +279,65 @@ def main() -> None:
     gen.sparkContext.setLogLevel("ERROR")
     transcripts(gen, n_conv_scale).write.mode("overwrite").parquet(tdir + "/scale")
     gen.stop()
-    scaling = {}
-    for label, cores in [("n", lo), ("4n", hi)]:
+    def _scale_leg(label: str, cores: int) -> dict:
         s = _mk_spark(cores, f"splade_scale_{label}")
         s.sparkContext.setLogLevel("ERROR")
-        p, bsec, psec, qfn, _sl = _engine_job(
-            s, tdir + "/scale", num_shards, k=100, n_queries=200
+        p, bsec, psec, qfn, _sl, esec, ep = _engine_job(
+            s, tdir + "/scale", num_shards, k=100, n_queries=200,
+            measure_encode=True,
         )
         qfn()  # warm (plans, Arrow workers)
-        qsec = 1e18
-        for _ in range(2):  # min-of-2 to damp scheduler noise
-            q0 = time.time()
-            qfn()
-            qsec = min(qsec, time.time() - q0)
+        q0 = time.time()
+        qfn()
+        qsec = time.time() - q0
+        s.stop()
+        return {
+            "postings": p, "build_sec": bsec, "pipeline_sec": psec,
+            "encode_sec": esec, "encode_postings": ep,
+            "query_batch_sec": qsec,
+        }
+
+    # the box carries other tenants' bursty load (idle loadavg 4-10): a
+    # single-shot leg can be 2-3x off. Interleave the widths and take the
+    # per-metric min over 2 repetitions — bursts rarely hit the same leg
+    # in both passes, and min is the right estimator for "what the job
+    # costs when the machine isn't busy elsewhere".
+    reps: dict[str, list[dict]] = {"n": [], "4n": []}
+    for _rep in range(2):
+        for label, cores in [("n", lo), ("4n", hi)]:
+            reps[label].append(_scale_leg(label, cores))
+    scaling = {}
+    for label, cores in [("n", lo), ("4n", hi)]:
+        p = reps[label][0]["postings"]
+        ep = reps[label][0]["encode_postings"]
+        best = {
+            k: min(r[k] for r in reps[label])
+            for k in ("build_sec", "pipeline_sec", "encode_sec",
+                      "query_batch_sec")
+        }
         scaling[label] = {
             "cores": cores,
-            "build_sec": round(bsec, 3),
-            "pipeline_sec": round(psec, 3),
-            "postings_per_sec": round(p / bsec, 1),
-            "query_batch_sec": round(qsec, 3),
-            "queries_per_sec": round(200 / qsec, 1),
+            "build_sec": round(best["build_sec"], 3),
+            "pipeline_sec": round(best["pipeline_sec"], 3),
+            "postings_per_sec": round(p / best["build_sec"], 1),
+            "encode_sec": round(best["encode_sec"], 3),
+            "encode_postings": ep,
+            "encode_postings_per_sec": round(ep / best["encode_sec"], 1),
+            "query_batch_sec": round(best["query_batch_sec"], 3),
+            "queries_per_sec": round(200 / best["query_batch_sec"], 1),
         }
-        s.stop()
     ratio = hi / lo
     scaling["efficiency_build"] = round(
         scaling["4n"]["postings_per_sec"]
         / (scaling["n"]["postings_per_sec"] * ratio),
+        3,
+    )
+    # the north-rule target measured on the CPU-bound encode stage alone
+    # (shuffle + vectorized block encode, no file sink) — see the comment
+    # in _engine_job for why the write leg can't scale on one local disk
+    scaling["efficiency_encode"] = round(
+        scaling["4n"]["encode_postings_per_sec"]
+        / (scaling["n"]["encode_postings_per_sec"] * ratio),
         3,
     )
     scaling["efficiency_query"] = round(

