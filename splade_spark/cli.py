@@ -35,12 +35,22 @@ def main(argv: list[str] | None = None) -> int:
 
     bp = sub.add_parser("build", help="build the compressed posting index")
     bp.add_argument("--transcripts", required=True)
-    bp.add_argument("--index", required=True)
+    bp.add_argument("--index", required=True,
+                    help="output dir (parquet) — with --format iceberg, "
+                         "also pass --table; the dir still gets the docmap")
     bp.add_argument("--shards", type=int, default=64)
     bp.add_argument("--no-resume", action="store_true")
+    bp.add_argument("--format", choices=["parquet", "iceberg", "auto"],
+                    default="parquet",
+                    help="auto = iceberg when the runtime jar is present "
+                         "and --table is given, else parquet")
+    bp.add_argument("--table", default=None,
+                    help="Iceberg table identifier (catalog.db.table)")
 
     qp = sub.add_parser("query", help="top-k BM25 retrieval")
-    qp.add_argument("--index", required=True)
+    qp.add_argument("--index", default=None, help="parquet index dir")
+    qp.add_argument("--table", default=None,
+                    help="Iceberg postings table (instead of --index)")
     qp.add_argument("--queries", required=True, help="TSV qid\\ttext")
     qp.add_argument("--out", required=True, help="runs parquet dir")
     qp.add_argument("--k", type=int, default=10)
@@ -88,14 +98,37 @@ def main(argv: list[str] | None = None) -> int:
         _log(f"corpus: N={n} avgdl={avgdl:.2f} ({time.time() - t0:.1f}s)")
         w = bm25_weights(tf, n, avgdl).select("doc_id", "term_id", "weight")
         scale = quantization_scale(w)
-        metrics = build_index(
-            w,
-            args.index,
-            scale,
-            num_shards=args.shards,
-            resume=not args.no_resume,
-            lineage={"transcripts": args.transcripts, "n_docs": n, "avgdl": avgdl},
-        )
+        fmt = args.format
+        if fmt == "auto":
+            from .index.build import iceberg_available
+
+            fmt = (
+                "iceberg"
+                if args.table and iceberg_available(spark)
+                else "parquet"
+            )
+            _log(f"format auto → {fmt}")
+        if fmt == "iceberg":
+            from .index.build import build_index_iceberg
+
+            if not args.table:
+                p.error("--format iceberg requires --table")
+            metrics = build_index_iceberg(
+                w, args.table, scale, num_shards=args.shards
+            )
+        else:
+            metrics = build_index(
+                w,
+                args.index,
+                scale,
+                num_shards=args.shards,
+                resume=not args.no_resume,
+                lineage={
+                    "transcripts": args.transcripts,
+                    "n_docs": n,
+                    "avgdl": avgdl,
+                },
+            )
         # doc_map dim table for external-id emission
         docs.select("doc_id", "conv_id").write.mode("overwrite").parquet(
             args.index + "_docmap"
@@ -110,7 +143,16 @@ def main(argv: list[str] | None = None) -> int:
         from .query.wand import retrieve
         from .tokenize import query_term_freqs
 
-        meta = read_index_meta(args.index)
+        if args.table:
+            from .index.build import load_postings_iceberg, read_index_meta_iceberg
+
+            meta = read_index_meta_iceberg(spark, args.table)
+            postings = load_postings_iceberg(spark, args.table)
+        elif args.index:
+            meta = read_index_meta(args.index)
+            postings = load_postings(spark, args.index)
+        else:
+            p.error("query requires --index or --table")
         queries = read_collection_tsv(spark, args.queries).withColumnRenamed(
             "doc_id", "query_id"
         )
@@ -119,7 +161,7 @@ def main(argv: list[str] | None = None) -> int:
         # num_shards from the meta kills an extra max(shard_id) Spark job
         # (a full postings scan) per query batch
         runs = retrieve(
-            load_postings(spark, args.index),
+            postings,
             qt,
             meta["scale"],
             k=args.k,

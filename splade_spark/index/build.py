@@ -314,6 +314,98 @@ def build_index(
     return metrics
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the iceberg-spark-runtime jar is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_postings_iceberg(
+    postings: DataFrame, table: str, num_shards: int
+) -> None:
+    """Iceberg sink for posting blocks (north-rule table layout).
+
+    `writeTo(table).partitionedBy(shard_id)` — identical layout to the
+    parquet path (one partition per shard, term-sorted files give tight
+    min/max pruning on term_id; Iceberg keeps those stats in its manifest,
+    so the query path's term filter prunes files without listing). The
+    caller's catalog must be configured (session.get_spark
+    iceberg_warehouse=...); requires the iceberg-spark-runtime jar.
+    """
+    spark = postings.sparkSession
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath — add "
+            "org.apache.iceberg:iceberg-spark-runtime via spark.jars.packages "
+            "or use the parquet path (build_index fmt='parquet')"
+        )
+    arranged = postings.repartition(num_shards, "shard_id").sortWithinPartitions(
+        "shard_id", "term_id", "block_id"
+    )
+    arranged.writeTo(table).partitionedBy(F.col("shard_id")).createOrReplace()
+
+
+def load_postings_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.table(table)
+
+
+def build_index_iceberg(
+    weights: DataFrame,
+    table: str,
+    scale: float,
+    num_shards: int = 32,
+    block_size: int = BLOCK_SIZE,
+    bits: int = 8,
+) -> dict:
+    """Sharded index build into an Iceberg table.
+
+    Same encode pipeline as build_index; the ledger/meta live as Iceberg
+    table properties (splade.scale etc.) instead of sidecar JSON, and
+    atomicity/idempotence comes from Iceberg's snapshot commit rather than
+    the per-shard filesystem ledger (a failed write never publishes a
+    snapshot, so 'resume' is simply re-running the job)."""
+    spark = weights.sparkSession
+    t0 = time.time()
+    sharded = with_shard(weights, num_shards)
+    postings = build_postings(
+        sharded.select("shard_id", "doc_id", "term_id", "weight"),
+        scale, num_shards=num_shards, block_size=block_size, bits=bits,
+    )
+    write_postings_iceberg(postings, table, num_shards)
+    elapsed = time.time() - t0
+    for k, v in [
+        ("splade.scale", scale), ("splade.num_shards", num_shards),
+        ("splade.block_size", block_size), ("splade.bits", bits),
+    ]:
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('{k}'='{v}')")
+    total = int(
+        load_postings_iceberg(spark, table).agg(F.sum("n")).collect()[0][0] or 0
+    )
+    return {
+        "postings": total,
+        "elapsed_s": elapsed,
+        "postings_per_sec": (total / elapsed) if elapsed > 0 else 0.0,
+    }
+
+
+def read_index_meta_iceberg(spark: SparkSession, table: str) -> dict:
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    return {
+        "scale": float(props["splade.scale"]),
+        "num_shards": int(props["splade.num_shards"]),
+        "block_size": int(props["splade.block_size"]),
+        "bits": int(props.get("splade.bits", 8)),
+    }
+
+
 def read_index_meta(path: str) -> dict:
     with open(os.path.join(path, "_index_meta.json")) as fh:
         return json.load(fh)

@@ -18,12 +18,18 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    iceberg_warehouse: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores defaults to $SPARK_GRAFT_CPUS (driver contract) or all cores.
     shuffle_partitions defaults to max(cores, 32) — at cluster scale this
     would be sized as total-cores × 2-3, or left to AQE coalescing.
+
+    iceberg_warehouse: if set, registers a hadoop-type Iceberg catalog
+    named `local` rooted there (requires the iceberg-spark-runtime jar on
+    the classpath — pass it via spark.jars.packages on a real cluster;
+    index.build.iceberg_available() reports whether it loaded).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or 0
@@ -46,6 +52,18 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    if iceberg_warehouse:
+        builder = (
+            builder.config(
+                "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
+            )
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config("spark.sql.catalog.local.warehouse", iceberg_warehouse)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
