@@ -65,6 +65,30 @@ def recall_at_k(run: DataFrame, qrels: DataFrame, k: int = 100) -> float:
     return float(row[0] or 0.0)
 
 
+def r_cap_at_k(run: DataFrame, qrels: DataFrame, k: int = 100) -> float:
+    """Capped recall — BEIR's R_cap@k (reference splade/beir_eval.py:89-95,
+    EvaluateRetrieval.evaluate_custom metric='r_cap'):
+    |top-k ∩ relevant| / min(k, |relevant|) per query, averaged. The cap
+    makes queries with more relevant docs than k reachable at 1.0.
+    Averaged over qrels-positive queries (queries missing from the run
+    score 0), consistent with mrr/recall here."""
+    pos = _positives(qrels)
+    ranked = _ranked(run).filter(F.col("rank") <= k)
+    hits = (
+        ranked.join(pos, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    denom = pos.groupBy("query_id").agg(
+        F.least(F.count("*"), F.lit(k)).alias("cap")
+    )
+    per_q = denom.join(hits, "query_id", "left").select(
+        (F.coalesce("hits", F.lit(0)) / F.col("cap")).alias("r_cap")
+    )
+    row = per_q.agg(F.avg("r_cap")).collect()[0]
+    return float(row[0] or 0.0)
+
+
 def ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> float:
     """NDCG@k with linear gain rel/log2(rank+1) (trec_eval ndcg)."""
     ranked = _ranked(run).filter(F.col("rank") <= k)
@@ -99,4 +123,5 @@ def evaluate(run: DataFrame, qrels: DataFrame, ks=(10, 100)) -> dict[str, float]
         out[f"mrr_{k}"] = mrr_at_k(run, qrels, k)
         out[f"recall_{k}"] = recall_at_k(run, qrels, k)
         out[f"ndcg_{k}"] = ndcg_at_k(run, qrels, k)
+        out[f"r_cap_{k}"] = r_cap_at_k(run, qrels, k)
     return out

@@ -55,6 +55,44 @@ def read_beir_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_ir_corpus(docs: DataFrame) -> DataFrame:
+    """S6: ir_datasets-style corpus → (doc_id, text) with the reference's
+    field-coalescing fallback chain (splade/datasets/datasets.py:165-235,
+    IR_Dataset.__init__):
+
+        1. title + " " + text        (docs with both fields)
+        2. decode(body, iso-8859-1) + " " + url   (web corpora)
+        3. text                      (plain collections)
+
+    plus the reference's doc_id quote-strip. Schema-flexible: absent
+    columns are treated as null, so one expression covers every
+    ir_datasets doc namedtuple shape. Pure codegen — runs at scan speed.
+    """
+    cols = set(docs.columns)
+    get = lambda c: F.col(c) if c in cols else F.lit(None).cast("string")  # noqa: E731
+    body = (
+        F.decode(F.col("body"), "ISO-8859-1")
+        if "body" in cols
+        else F.lit(None).cast("string")
+    )
+    text = F.coalesce(
+        F.when(
+            get("title").isNotNull() & get("text").isNotNull(),
+            F.concat(get("title"), F.lit(" "), get("text")),
+        ),
+        F.when(
+            body.isNotNull(),
+            F.concat(body, F.lit(" "), F.coalesce(get("url"), F.lit(""))),
+        ),
+        get("text"),
+        F.lit(""),
+    )
+    return docs.select(
+        F.regexp_replace(F.col("doc_id").cast("string"), '"', "").alias("doc_id"),
+        text.alias("text"),
+    )
+
+
 def read_qrels_json(spark: SparkSession, path: str) -> DataFrame:
     """S8: {qid: {did: rel}} → (query_id, doc_id, rel). Qrels are small —
     parsed on the driver, parallelized for joins."""

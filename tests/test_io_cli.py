@@ -37,6 +37,34 @@ def test_beir_corpus_concat(spark, tmp_path):
     assert rows == {"a": "T body", "b": "only body"}
 
 
+def test_ir_corpus_coalescing(spark):
+    """S6 fallback chain: title+text → body.decode+url → text
+    (reference splade/datasets/datasets.py:192-198)."""
+    from splade_spark.io import read_ir_corpus
+
+    docs = spark.createDataFrame(
+        [
+            ('"d1"', "T", "body text", None, None),
+            ("d2", None, None, bytearray(b"web body"), "http://x"),
+            ("d3", None, "plain", None, None),
+            ("d4", None, None, None, None),
+        ],
+        "doc_id string, title string, text string, body binary, url string",
+    )
+    rows = {r.doc_id: r.text for r in read_ir_corpus(docs).collect()}
+    assert rows == {
+        "d1": "T body text",
+        "d2": "web body http://x",
+        "d3": "plain",
+        "d4": "",
+    }
+    # schema-flexible: a text-only frame works too
+    slim = spark.createDataFrame(
+        [("a", "hello")], "doc_id string, text string"
+    )
+    assert read_ir_corpus(slim).collect()[0].text == "hello"
+
+
 def test_qrels_json_and_trec(spark, tmp_path):
     j = tmp_path / "qrel.json"
     j.write_text(json.dumps({"q1": {"d1": 1, "d2": 0}, "q2": {"d3": 2}}))

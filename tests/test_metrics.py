@@ -54,10 +54,40 @@ def test_ndcg(run_and_qrels):
     assert abs(ndcg_at_k(run, qrels, 10) - expected) < 1e-12
 
 
+def test_r_cap(run_and_qrels):
+    from splade_spark.evaluation.metrics import r_cap_at_k
+
+    run, qrels = run_and_qrels
+    # k=10: caps are min(10, npos) = npos → identical to recall
+    assert abs(r_cap_at_k(run, qrels, 10) - (1.0 / 3)) < 1e-12
+    # k=1: q1 cap=min(1,2)=1, top-1 is doc 2 (not relevant) → 0;
+    # q2 cap=1 miss → 0; q3 absent → 0
+    assert r_cap_at_k(run, qrels, 1) == 0.0
+    # k=2: q1 cap=2, finds doc1 → 1/2; others 0 → mean 1/6
+    assert abs(r_cap_at_k(run, qrels, 2) - (0.5 / 3)) < 1e-12
+
+
+def test_r_cap_caps_denominator(spark):
+    """A query with more relevant docs than k can still reach 1.0 — the
+    defining difference from plain recall@k."""
+    from splade_spark.evaluation.metrics import r_cap_at_k, recall_at_k
+
+    run = spark.createDataFrame(
+        [("q", str(i), 10.0 - i, i) for i in range(1, 3)],
+        "query_id string, doc_id string, score double, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", str(i), 1) for i in range(1, 6)],
+        "query_id string, doc_id string, rel int",
+    )
+    assert abs(r_cap_at_k(run, qrels, 2) - 1.0) < 1e-12
+    assert abs(recall_at_k(run, qrels, 2) - 0.4) < 1e-12
+
+
 def test_evaluate_bundle(run_and_qrels):
     run, qrels = run_and_qrels
     out = evaluate(run, qrels, ks=(10,))
-    assert set(out) == {"mrr_10", "recall_10", "ndcg_10"}
+    assert set(out) == {"mrr_10", "recall_10", "ndcg_10", "r_cap_10"}
 
 
 def test_pytrec_eval_cross_check(run_and_qrels):
