@@ -261,13 +261,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH verified near-dups (no SQL oracle: engine-specific hash;
-    output ⊆ q_ngram_jaccard output, asserted in tests)."""
+    """MinHash-LSH verified near-dups, SQL-oracle-checked end to end: the
+    polyhash base hash and raw-string band buckets make every stage
+    (signatures → banded candidates → signature-estimate prefilter →
+    exact-Jaccard verify) reproducible in DuckDB; the (a,b) hash
+    coefficients are injected into the oracle as literals."""
     from splade_spark.pipeline.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(_docs(spark, sf_dir), n=3, tau=0.5).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return minhash_dedup_pairs(
+        _docs(spark, sf_dir), n=3, tau=0.5,
+        base_hash="polyhash", hash_buckets=False,
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,8 +498,11 @@ def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via hyperplane LSH + exact rerank (rows-only check;
-    recall asserted against brute force in tests)."""
+    """Approximate NN via hyperplane LSH + exact rerank, SQL-oracle-checked:
+    the seeded hyperplanes are injected into the DuckDB oracle as DOUBLE[]
+    literals, which replays sign-bit signatures, the 1-bit-flip multiprobe,
+    and the exact cosine rerank (4-decimal rounding absorbs BLAS-vs-
+    sequential float summation order)."""
     from splade_spark.pipeline.similarity import lsh_cosine_topk
 
     emb = _emb(spark, sf_dir)
@@ -506,7 +513,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"query_id": [f"v{i}" for i in q["vec_id"]], "embedding": q["embedding"].tolist()}
     )
     res = lsh_cosine_topk(emb, qv, k=5, nbits=10)
-    return res.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,6 +603,29 @@ def _qt_values() -> str:
 
 def oracle_sql() -> dict[str, str]:
     fp_mod = (1 << 56) - 5
+    m31 = (1 << 31) - 1
+    from splade_spark.pipeline.dedup import _hash_coeffs
+
+    mh_a, mh_b = _hash_coeffs(64, seed=42)
+    mh_coeffs = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(mh_a, mh_b))
+    )
+
+    # seeded LSH hyperplanes (dim 64 x nbits 10), injected as literals —
+    # repr() gives shortest-round-trip doubles, so DuckDB parses the exact
+    # same float64 the engine broadcasts
+    import numpy as _np
+
+    from splade_spark.pipeline.similarity import SEED as _LSH_SEED
+
+    _planes = _np.random.default_rng(_LSH_SEED).standard_normal((64, 10))
+    lsh_planes = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(x)) for x in _planes[:, j])
+        )
+        for j in range(10)
+    )
+    lsh_flips = ", ".join(["(0)"] + [f"({1 << i})" for i in range(10)])
     stop_en = "['the','a','of','and','to','in','is','it','that','for']"
     lang_scores = []
     for lang, words in {
@@ -734,6 +769,66 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
               FROM sh a JOIN sh b USING (shingle)
               WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+              round(c::DOUBLE / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "minhash_dups": f"""
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+              FROM t, unnest(range(1, len(ts) - 1)) AS u(i)
+              WHERE len(ts) >= 3
+            ),
+            hb AS (  -- shared polyhash folded into the Mersenne prime
+              SELECT doc_id,
+                list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(string_split(shingle, ''),
+                                   c -> ord(c)::BIGINT)),
+                  (acc, c) -> (acc * 31 + c) % {fp_mod}
+                ) % {m31} AS h
+              FROM sh
+            ),
+            coeffs(i, a, b) AS (VALUES {mh_coeffs}),
+            sigs AS (  -- a*h+b < 2^62: exact in BIGINT
+              SELECT doc_id, i, min((a * h + b) % {m31}) AS mh
+              FROM hb CROSS JOIN coeffs
+              GROUP BY 1, 2
+            ),
+            banded AS (  -- 16 bands x 4 rows, raw comma-joined bucket key
+              SELECT doc_id, i // 4 AS band,
+                string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+              FROM sigs GROUP BY doc_id, i // 4
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b USING (band, bucket)
+              WHERE a.doc_id < b.doc_id
+            ),
+            est AS (  -- signature-estimate prefilter (tau - 0.2)
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN sigs sa ON sa.doc_id = c.doc_a
+              JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+              GROUP BY 1, 2
+              HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0
+                     >= 0.3
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            common AS (  -- exact-Jaccard verify on the surviving pairs
+              SELECT e.doc_a, e.doc_b, count(*) AS c
+              FROM est e
+              JOIN sh a ON a.doc_id = e.doc_a
+              JOIN sh b ON b.doc_id = e.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,
               round(c::DOUBLE / (sa.sz + sb.sz - c), 6) AS jaccard
@@ -908,6 +1003,45 @@ def oracle_sql() -> dict[str, str]:
               round(avg(n_events), 6) AS avg_events_per_session,
               sum(n_events)::BIGINT AS n_events_total
             FROM per_session GROUP BY 1
+        """,
+        "ann_lsh_topk": f"""
+            WITH planes(j, pv) AS (VALUES {lsh_planes}),
+            e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            bits AS (
+              SELECT vec_id, j, list_dot_product(v, pv) AS dot
+              FROM e CROSS JOIN planes
+            ),
+            sigs AS (
+              SELECT vec_id,
+                sum(CASE WHEN dot > 0 THEN (1::BIGINT << j)
+                         ELSE 0 END)::BIGINT AS bucket
+              FROM bits GROUP BY 1
+            ),
+            flips(f) AS (VALUES {lsh_flips}),
+            probes AS (  -- query buckets + all 1-bit flips (multiprobe)
+              SELECT DISTINCT xor(bucket, f) AS pb
+              FROM sigs, flips WHERE vec_id < 3
+            ),
+            cand AS (
+              SELECT vec_id FROM sigs
+              WHERE bucket IN (SELECT pb FROM probes)
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                list_dot_product(e.v, q.qv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+              FROM e JOIN cand USING (vec_id) CROSS JOIN q
+            )
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank FROM (
+              SELECT 'v' || qid::VARCHAR AS query_id, vec_id, cosine,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "engine_bm25_topk": f"""
             WITH {_BM25_W},

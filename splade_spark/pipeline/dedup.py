@@ -132,21 +132,33 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, sig array<long>): MinHash over word n-gram shingles.
 
-    Hybrid: shingle → 31-bit base hash JVM-side (xxhash64 folded into the
-    Mersenne prime, codegen'd), then the num_hashes × shingles
-    (a·h+b) mod p min-reduction in a vectorized Arrow kernel — a nested
-    higher-order-function version of the reduction is interpreted
-    expression-eval in Spark and ~20× slower. uint64 arithmetic is exact
-    (a,h < 2^31 so a·h+b < 2^63)."""
+    Hybrid: shingle → 31-bit base hash JVM-side (codegen'd), then the
+    num_hashes × shingles (a·h+b) mod p min-reduction in a vectorized
+    Arrow kernel — a nested higher-order-function version of the
+    reduction is interpreted expression-eval in Spark and ~20× slower.
+    uint64 arithmetic is exact (a,h < 2^31 so a·h+b < 2^63).
+
+    base_hash: 'xxhash64' (default, one JVM hash op per shingle) or
+    'polyhash' (the shared rolling polynomial hash, SQL-reproducible —
+    lets an external ANSI-SQL oracle replicate signatures bit-for-bit;
+    costs ~|shingle| ops per shingle, so keep xxhash64 in production)."""
     import numpy as np
     from collections.abc import Iterator
 
     a, b = _hash_coeffs(num_hashes, seed)
     sh = shingles_col(F.col(text_col), n)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+    if base_hash == "polyhash":
+        from .textstats import fingerprint_col
+
+        base = F.transform(
+            sh, lambda s: F.pmod(fingerprint_col(s), F.lit(MERSENNE31))
+        )
+    else:
+        base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
     src = df.select(id_col, base.alias("base_hashes")).filter(
         F.size("base_hashes") > 0
     )
@@ -170,28 +182,35 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16, id_col: str = "doc_id"
+    signatures: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    hash_buckets: bool = True,
 ) -> DataFrame:
-    """(doc_a, doc_b): pairs sharing at least one LSH band bucket."""
+    """(doc_a, doc_b): pairs sharing at least one LSH band bucket.
+
+    hash_buckets=True folds each band's value string through xxhash64 so
+    the equi-join key is 8 bytes; False joins on the raw comma-joined
+    string (wider keys, but exactly reproducible in ANSI SQL)."""
     sig_len = F.size("sig")
     rows_per_band = (sig_len / bands).cast("int")
+
+    def _bucket(b):
+        raw = F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+        return F.xxhash64(raw).cast("string") if hash_buckets else raw
+
     banded = signatures.select(
         id_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), _bucket(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -213,13 +232,20 @@ def minhash_dedup_pairs(
     bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    base_hash: str = "xxhash64",
+    hash_buckets: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with *exact* n-gram Jaccard.
 
     Output ⊆ ngram_jaccard_pairs output; LSH only bounds the candidate set
-    (recall ≈ 1 - (1 - tau^(h/bands))^bands, tunable)."""
-    sigs = minhash_signatures(df, n, num_hashes, id_col, text_col).cache()
-    cands = minhash_lsh_candidates(sigs, bands, id_col)
+    (recall ≈ 1 - (1 - tau^(h/bands))^bands, tunable). With
+    base_hash='polyhash' and hash_buckets=False every stage is
+    ANSI-SQL-reproducible (the harness oracle re-runs the whole pipeline
+    in DuckDB, injecting the (a,b) coefficients as literals)."""
+    sigs = minhash_signatures(
+        df, n, num_hashes, id_col, text_col, base_hash=base_hash
+    ).cache()
+    cands = minhash_lsh_candidates(sigs, bands, id_col, hash_buckets=hash_buckets)
     # cheap signature-level Jaccard estimate prunes most candidates before
     # the exact shingle-join verify (estimate is unbiased with sd
     # ~= sqrt(j(1-j)/num_hashes); the 0.2 slack keeps recall of true
