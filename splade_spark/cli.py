@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
                          "and --table is given, else parquet")
     bp.add_argument("--table", default=None,
                     help="Iceberg table identifier (catalog.db.table)")
+    bp.add_argument("--codec", choices=["varint", "for"], default="varint",
+                    help="posting delta codec: LEB128 varint or "
+                         "fixed-width FOR bitpack (faster decode)")
 
     qp = sub.add_parser("query", help="top-k BM25 retrieval")
     qp.add_argument("--index", default=None, help="parquet index dir")
@@ -128,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
                     "n_docs": n,
                     "avgdl": avgdl,
                 },
+                codec=args.codec,
             )
         # doc_map dim table for external-id emission
         docs.select("doc_id", "conv_id").write.mode("overwrite").parquet(
@@ -168,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
             threshold=args.threshold,
             num_shards=meta["num_shards"],
             bits=meta.get("bits", 8),
+            codec=meta.get("codec", "varint"),
         )
         write_runs_parquet(runs, args.out)
         _log(f"query: k={args.k} wall={time.time() - t0:.2f}s → {args.out}")

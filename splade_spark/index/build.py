@@ -62,6 +62,7 @@ def build_postings(
     block_size: int = BLOCK_SIZE,
     bits: int = 8,
     local_sort: bool = True,
+    codec: str = "varint",
 ) -> DataFrame:
     """(doc_id, term_id, weight) → compressed posting blocks.
 
@@ -102,7 +103,7 @@ def build_postings(
         yield pd.DataFrame(
             encode_groups(
                 s[o], t[o], d[o], w[o], scale,
-                block_size=block_size, bits=bits,
+                block_size=block_size, bits=bits, codec=codec,
             )
         )
 
@@ -133,6 +134,7 @@ def build_postings(
                         scale,
                         block_size=block_size,
                         bits=bits,
+                        codec=codec,
                     )
                 )
         if pending is not None and len(pending):
@@ -145,6 +147,7 @@ def build_postings(
                     scale,
                     block_size=block_size,
                     bits=bits,
+                    codec=codec,
                 )
             )
 
@@ -210,6 +213,7 @@ def build_index(
     resume: bool = True,
     lineage: dict | None = None,
     bits: int = 8,
+    codec: str = "varint",
 ) -> dict:
     """Resumable sharded index build → parquet at `path`, partitioned by
     shard_id, plus a per-shard checkpoint ledger with lineage + metrics.
@@ -233,6 +237,7 @@ def build_index(
         "num_shards": num_shards,
         "block_size": block_size,
         "bits": bits,
+        "codec": codec,
         "lineage": lineage or {},
     }
     if not pending:
@@ -253,6 +258,7 @@ def build_index(
         num_shards=num_shards,
         block_size=block_size,
         bits=bits,
+        codec=codec,
     )
     # Range-repartition the (small) encoded blocks so each shard writes ~one
     # term-sorted file: without this, encode_partitions × shards files get
@@ -301,6 +307,7 @@ def build_index(
                 "num_shards": num_shards,
                 "block_size": block_size,
                 "bits": bits,
+                "codec": codec,
                 "lineage": lineage or {},
             },
         )

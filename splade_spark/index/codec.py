@@ -72,6 +72,37 @@ def decode_varint(buf: bytes) -> np.ndarray:
     return out
 
 
+def encode_for(values: np.ndarray) -> bytes:
+    """FOR/bitpack one block's deltas: 1-byte bit width w, then the values
+    packed w bits each (little-endian bit order, np.packbits). Decode is
+    one unpackbits + shift-sum — cheaper than the varint byte walk in the
+    query kernel's hot path (PISA's block codecs make the same trade,
+    efficient_splade_pisa/README.md:28-38)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b"\x00"
+    mx = int(v.max())
+    w = mx.bit_length()
+    if w == 0:
+        return b"\x00"
+    bits = ((v[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.uint8
+    )
+    return bytes([w]) + np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def decode_for(buf: bytes, n: int) -> np.ndarray:
+    """Inverse of encode_for → uint64 array of n values."""
+    w = buf[0]
+    if w == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8, offset=1)
+    bits = np.unpackbits(raw, count=n * w, bitorder="little").reshape(n, w)
+    return (bits.astype(np.uint64) << np.arange(w, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
 def quantize_weights(weights: np.ndarray, scale: float, bits: int = 8) -> np.ndarray:
     """w → round(w*scale) clipped to [0, 2^bits-1] (u8 by default).
 
@@ -134,6 +165,7 @@ def encode_groups(
     scale: float,
     block_size: int = BLOCK_SIZE,
     bits: int = 8,
+    codec: str = "varint",
 ) -> dict[str, list]:
     """Encode MANY (shard, term) posting groups in one vectorized pass.
 
@@ -143,6 +175,10 @@ def encode_groups(
     the only Python loop slices the shared byte buffers per block (cheap).
     This replaces a per-group applyInPandas, whose per-group pandas overhead
     dominates when Zipf tails make most groups tiny.
+
+    codec: 'varint' (LEB128 deltas; dense for mixed gap sizes) or 'for'
+    (per-block fixed-width bitpack; cheaper to decode in the query kernel,
+    but a single large gap inflates the whole block's width).
     """
     n = len(doc)
     if n == 0:
@@ -175,17 +211,23 @@ def encode_groups(
     raw_delta[1:] = doc[1:] - doc[:-1]
     keep = ~new_blk  # block-start rows carry no delta (cross-group diffs excluded)
     dvals = raw_delta[keep].astype(np.uint64)
-    dbytes_arr, dlens = encode_varint_with_lens(dvals)
-    dbuf = dbytes_arr.tobytes()
     dcount_cum = np.concatenate(([0], np.cumsum(blk_n - 1)))
-    byte_cum = np.concatenate(([0], np.cumsum(dlens)))
     wbuf = q.tobytes()
     isz = q.itemsize
 
-    doc_bytes = [
-        dbuf[byte_cum[dcount_cum[b]] : byte_cum[dcount_cum[b + 1]]]
-        for b in range(nb)
-    ]
+    if codec == "for":
+        doc_bytes = [
+            encode_for(dvals[dcount_cum[b] : dcount_cum[b + 1]])
+            for b in range(nb)
+        ]
+    else:
+        dbytes_arr, dlens = encode_varint_with_lens(dvals)
+        dbuf = dbytes_arr.tobytes()
+        byte_cum = np.concatenate(([0], np.cumsum(dlens)))
+        doc_bytes = [
+            dbuf[byte_cum[dcount_cum[b]] : byte_cum[dcount_cum[b + 1]]]
+            for b in range(nb)
+        ]
     w_bytes = [wbuf[blk_start[b] * isz : blk_end[b] * isz] for b in range(nb)]
     block_max = np.maximum.reduceat(q, blk_start).astype(np.int32)
 
@@ -203,10 +245,19 @@ def encode_groups(
 
 
 def decode_block(
-    first_doc: int, n: int, doc_bytes: bytes, w_bytes: bytes, scale: float, bits: int = 8
+    first_doc: int,
+    n: int,
+    doc_bytes: bytes,
+    w_bytes: bytes,
+    scale: float,
+    bits: int = 8,
+    codec: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of encode_blocks for one block → (doc_ids, dequant weights)."""
-    deltas = decode_varint(doc_bytes)
+    if codec == "for":
+        deltas = decode_for(doc_bytes, n - 1)
+    else:
+        deltas = decode_varint(doc_bytes)
     docs = np.empty(n, dtype=np.int64)
     docs[0] = first_doc
     if n > 1:

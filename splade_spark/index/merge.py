@@ -40,6 +40,7 @@ def merge_postings(
     scale: float,
     block_size: int = 128,
     bits: int = 8,
+    codec: str = "varint",
 ) -> DataFrame:
     """Merge docID-sorted posting segments into one postings DataFrame.
 
@@ -68,7 +69,7 @@ def merge_postings(
         for first, n, db, wb in zip(
             pdf["first_doc"], pdf["n"], pdf["doc_bytes"], pdf["w_bytes"]
         ):
-            d, w = decode_block(int(first), int(n), db, wb, scale, bits)
+            d, w = decode_block(int(first), int(n), db, wb, scale, bits, codec)
             docs_all.append(d)
             w_all.append(w)
         doc = np.concatenate(docs_all)
@@ -78,7 +79,7 @@ def merge_postings(
         return pd.DataFrame(
             encode_groups(
                 shard_rep, term_rep, doc, w, scale,
-                block_size=block_size, bits=bits,
+                block_size=block_size, bits=bits, codec=codec,
             )
         )
 
@@ -143,7 +144,9 @@ def merge_indexes(
                 "merge requires docID-disjoint segments (watermark-allocated)"
             )
     merged = merge_postings(
-        segs, scale, block_size, bits=metas[0].get("bits", 8)
+        segs, scale, block_size,
+        bits=metas[0].get("bits", 8),
+        codec=metas[0].get("codec", "varint"),
     )
     (
         merged.write.mode("overwrite")
@@ -160,6 +163,7 @@ def merge_indexes(
                 "num_shards": num_shards,
                 "block_size": block_size,
                 "bits": metas[0].get("bits", 8),
+                "codec": metas[0].get("codec", "varint"),
                 "lineage": {"merged_from": segment_paths},
             },
             fh,

@@ -54,6 +54,7 @@ def _score_query_in_shard(
     prune: bool,
     decoded: dict | None = None,
     bits: int = 8,
+    codec: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray]:
     """terms: [(term_id, qtf, firsts, lasts, bmax_q, block_rows)] per query
     term present in this shard; block_rows[j] = (first, n, doc_bytes,
@@ -116,7 +117,9 @@ def _score_query_in_shard(
                     blk = decoded.get(key)
                     if blk is None:
                         first, n, dbytes, wbytes = rows[j]
-                        d, _ = decode_block(first, n, dbytes, wbytes, scale, bits)
+                        d, _ = decode_block(
+                            first, n, dbytes, wbytes, scale, bits, codec
+                        )
                         q = np.frombuffer(wbytes, dtype=wdtype).astype(np.int64)
                         blk = (d, q)
                         decoded[key] = blk
@@ -152,6 +155,7 @@ def retrieve(
     prune: bool = True,
     num_shards: int | None = None,
     bits: int = 8,
+    codec: str = "varint",
 ) -> DataFrame:
     """Top-k BM25 over a block-compressed sharded index.
 
@@ -236,7 +240,7 @@ def retrieve(
                 ]
                 docs, scores = _score_query_in_shard(
                     terms, k, theta0, scale, prune, decoded=shard_cache,
-                    bits=bits,
+                    bits=bits, codec=codec,
                 )
                 out_q.extend([qid] * len(docs))
                 out_d.extend(docs.tolist())

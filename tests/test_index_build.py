@@ -39,6 +39,22 @@ def test_local_sort_equals_jvm_sort(spark, corpus):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_for_codec_build_query_identity(spark, corpus, tmp_path):
+    """FOR-bitpacked index answers rank- and score-identically to the
+    varint index (same quantized domain, different delta encoding)."""
+    _, w, scale = corpus
+    pv, pf = str(tmp_path / "v"), str(tmp_path / "f")
+    build_index(w, pv, scale, num_shards=4, codec="varint")
+    build_index(w, pf, scale, num_shards=4, codec="for")
+    assert read_index_meta(pf)["codec"] == "for"
+    qt = query_term_freqs(queries_df(spark))
+    rv = retrieve(load_postings(spark, pv), qt, scale, k=20, num_shards=4,
+                  codec="varint")
+    rf = retrieve(load_postings(spark, pf), qt, scale, k=20, num_shards=4,
+                  codec="for")
+    assert sorted(map(tuple, rv.collect())) == sorted(map(tuple, rf.collect()))
+
+
 def test_build_and_ledger(spark, corpus, tmp_path):
     tf, w, scale = corpus
     path = str(tmp_path / "idx")
