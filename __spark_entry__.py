@@ -521,6 +521,45 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in its exact configuration (nprobe = n_centroids probes
+    every cell → candidates = whole corpus), so the SQL oracle is plain
+    brute-force cosine top-k; the approximate nprobe<cells path is
+    recall-tested in pytest. Queries differ from emb_cosine_topk's
+    (vec_id 3..5)."""
+    from splade_spark.pipeline.similarity import ivf_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)).toPandas()
+    import pandas as pd
+
+    qv = pd.DataFrame(
+        {"query_id": [f"v{i}" for i in q["vec_id"]], "embedding": q["embedding"].tolist()}
+    )
+    res = ivf_cosine_topk(emb, qv, k=5, n_centroids=8, nprobe=8)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via hyperplane-LSH buckets + exact
+    JVM-side cosine verify, SQL-oracle-checked with the planes injected as
+    literals (the synthetic embeddings are well-separated — max pairwise
+    cosine ~0.51 — so tau is set low to yield a non-trivial pair set; the
+    bucket-candidate semantics are what the oracle checks)."""
+    from splade_spark.pipeline.similarity import cosine_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_near_dup_pairs(emb, tau=0.35, nbits=4)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke (synthetic assets; rows-only check)."""
     from splade_spark.pipeline.multimodal import extract_features, synthetic_assets
@@ -562,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_top5": q_revenue_top5,
         "engine_bm25_topk": q_engine_bm25_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -618,14 +659,18 @@ def oracle_sql() -> dict[str, str]:
 
     from splade_spark.pipeline.similarity import SEED as _LSH_SEED
 
-    _planes = _np.random.default_rng(_LSH_SEED).standard_normal((64, 10))
-    lsh_planes = ", ".join(
-        "({}, [{}]::DOUBLE[])".format(
-            j, ", ".join(repr(float(x)) for x in _planes[:, j])
+    def _plane_values(nbits: int) -> str:
+        pl = _np.random.default_rng(_LSH_SEED).standard_normal((64, nbits))
+        return ", ".join(
+            "({}, [{}]::DOUBLE[])".format(
+                j, ", ".join(repr(float(x)) for x in pl[:, j])
+            )
+            for j in range(nbits)
         )
-        for j in range(10)
-    )
+
+    lsh_planes = _plane_values(10)
     lsh_flips = ", ".join(["(0)"] + [f"({1 << i})" for i in range(10)])
+    nd_planes = _plane_values(4)  # emb_near_dup uses nbits=4
     stop_en = "['the','a','of','and','to','in','is','it','that','for']"
     lang_scores = []
     for lang, words in {
@@ -1042,6 +1087,60 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY cosine DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH probes AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id >= 3 AND vec_id < 6
+            ),
+            scored AS (
+              SELECT p.qid, e.vec_id,
+                list_dot_product(e.embedding::DOUBLE[], p.qvec)
+                  / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(p.qvec, p.qvec))) AS cosine
+              FROM embeddings e CROSS JOIN probes p
+            )
+            -- nprobe = n_centroids probes every IVF cell, so the engine's
+            -- candidate set is the whole corpus: plain brute-force top-k
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank FROM (
+              SELECT 'v' || qid::VARCHAR AS query_id, vec_id, cosine,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "emb_near_dup": f"""
+            WITH planes(j, pv) AS (VALUES {nd_planes}),
+            e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            bits AS (
+              SELECT vec_id, j, list_dot_product(v, pv) AS dot
+              FROM e CROSS JOIN planes
+            ),
+            sigs AS (
+              SELECT vec_id,
+                sum(CASE WHEN dot > 0 THEN (1::BIGINT << j)
+                         ELSE 0 END)::BIGINT AS bucket
+              FROM bits GROUP BY 1
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM sigs a JOIN sigs b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ),
+            verified AS (
+              SELECT p.id_a, p.id_b,
+                list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v))
+                     * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+              FROM pairs p
+              JOIN e ea ON ea.vec_id = p.id_a
+              JOIN e eb ON eb.vec_id = p.id_b
+            )
+            SELECT id_a, id_b, round(cos, 4) AS cosine
+            FROM verified WHERE cos >= 0.35
         """,
         "engine_bm25_topk": f"""
             WITH {_BM25_W},
