@@ -123,6 +123,11 @@ def merge_indexes(
     assert all(
         m["scale"] == scale and m["num_shards"] == num_shards for m in metas
     ), "segments must share quantization scale and shard count"
+    assert all(
+        m.get("codec", "varint") == metas[0].get("codec", "varint")
+        and m.get("bits", 8) == metas[0].get("bits", 8)
+        for m in metas
+    ), "segments must share posting codec and quantization width"
     # explicit schema: an empty segment (no parquet files under the
     # partition dirs) fails schema inference; its (None, None) range is
     # skipped below rather than TypeError-ing against int ranges

@@ -39,6 +39,21 @@ def test_local_sort_equals_jvm_sort(spark, corpus):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_resume_repairs_missing_meta(spark, corpus, tmp_path):
+    """A build killed between the last ledger write and the meta write
+    leaves an index the query path can't open; re-running with resume=True
+    (pending empty) must re-emit _index_meta.json."""
+    import os
+
+    _, w, scale = corpus
+    path = str(tmp_path / "idx")
+    build_index(w, path, scale, num_shards=4)
+    os.remove(os.path.join(path, "_index_meta.json"))
+    m = build_index(w, path, scale, num_shards=4, resume=True)
+    assert m["built_shards"] == 0  # nothing rebuilt — repair only
+    assert read_index_meta(path)["scale"] == scale
+
+
 def test_for_codec_build_query_identity(spark, corpus, tmp_path):
     """FOR-bitpacked index answers rank- and score-identically to the
     varint index (same quantized domain, different delta encoding)."""
