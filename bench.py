@@ -28,6 +28,8 @@ import sys
 import tempfile
 import time
 
+_TMP_DIRS: list[str] = []  # index dirs created per _engine_job; cleaned in main
+
 
 def _work_unit(_):
     """Fixed per-worker numpy workload (sort + delta + varint-ish shifts —
@@ -147,7 +149,9 @@ def _engine_job(
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
 
-    path = tempfile.mkdtemp(prefix="splade_bench_") + "/idx"
+    root = tempfile.mkdtemp(prefix="splade_bench_")
+    _TMP_DIRS.append(root)
+    path = root + "/idx"
     t0 = time.time()
     docs = build_documents(spark.read.parquet(transcripts_path))
     tf = term_freqs(docs).cache()  # reused by weights' df branch + main branch
@@ -487,6 +491,11 @@ def main() -> None:
     for kname in ("efficiency_build", "efficiency_encode", "efficiency_query"):
         scaling[kname + "_vs_ceiling"] = round(scaling[kname] / ceiling, 3)
     extra["scaling"] = scaling
+
+    # the shared sandbox disk is the scarce resource — drop the ~5 index
+    # dirs and the scaling corpora this run created
+    for d in _TMP_DIRS + [tdir]:
+        shutil.rmtree(d, ignore_errors=True)
 
     out = {
         "metric": "splade_spark_bench_total",

@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--codec", choices=["varint", "for"], default="varint",
                     help="posting delta codec: LEB128 varint or "
                          "fixed-width FOR bitpack (faster decode)")
+    bp.add_argument("--streaming-encoder", action="store_true",
+                    help="bounded-memory streaming encode (JVM sort + "
+                         "cross-batch carry) instead of the default "
+                         "python-side partition lexsort")
 
     qp = sub.add_parser("query", help="top-k BM25 retrieval")
     qp.add_argument("--index", default=None, help="parquet index dir")
@@ -69,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("--out", required=True)
 
     args = p.parse_args(argv)
+    # fail fast on argument combinations BEFORE any Spark job runs (a
+    # missing --table should not surface after scanning a 100 GB corpus)
+    if args.cmd == "build" and args.format == "iceberg" and not args.table:
+        p.error("--format iceberg requires --table")
 
     from .session import get_spark
 
@@ -114,10 +122,9 @@ def main(argv: list[str] | None = None) -> int:
         if fmt == "iceberg":
             from .index.build import build_index_iceberg
 
-            if not args.table:
-                p.error("--format iceberg requires --table")
             metrics = build_index_iceberg(
-                w, args.table, scale, num_shards=args.shards
+                w, args.table, scale, num_shards=args.shards,
+                codec=args.codec,
             )
         else:
             metrics = build_index(
@@ -132,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
                     "avgdl": avgdl,
                 },
                 codec=args.codec,
+                local_sort=not args.streaming_encoder,
             )
         # doc_map dim table for external-id emission
         docs.select("doc_id", "conv_id").write.mode("overwrite").parquet(

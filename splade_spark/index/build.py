@@ -214,9 +214,13 @@ def build_index(
     lineage: dict | None = None,
     bits: int = 8,
     codec: str = "varint",
+    local_sort: bool = True,
 ) -> dict:
     """Resumable sharded index build → parquet at `path`, partitioned by
     shard_id, plus a per-shard checkpoint ledger with lineage + metrics.
+    local_sort=False selects the bounded-memory streaming encoder (see
+    build_postings) for deployments where partitions can't be sized to
+    fit worker memory.
 
     Returns build metrics {built_shards, skipped_shards, postings, elapsed_s,
     postings_per_sec}. Re-running after a kill only builds missing shards
@@ -224,6 +228,29 @@ def build_index(
     """
     spark = weights.sparkSession
     done = read_ledger(path) if resume else {}
+    if done:
+        # a resume MUST match the committed shards' encoding parameters —
+        # continuing a killed `--codec for` build with default flags would
+        # otherwise produce a mixed-codec index whose meta mislabels the
+        # pre-existing shards (silently garbage at query time)
+        ref = next(iter(done.values()))
+        expect = {
+            "scale": scale, "num_shards": num_shards,
+            "block_size": block_size, "bits": bits, "codec": codec,
+        }
+        got = {
+            "scale": ref.get("scale"),
+            "num_shards": ref.get("num_shards"),
+            "block_size": ref.get("block_size"),
+            "bits": ref.get("bits", 8),
+            "codec": ref.get("codec", "varint"),
+        }
+        if got != expect:
+            raise ValueError(
+                f"resume parameter mismatch: ledger has {got}, "
+                f"call has {expect} — pass the original build flags "
+                "or use resume=False to rebuild"
+            )
     pending = [s for s in range(num_shards) if s not in done]
     metrics = {
         "built_shards": len(pending),
@@ -259,6 +286,7 @@ def build_index(
         block_size=block_size,
         bits=bits,
         codec=codec,
+        local_sort=local_sort,
     )
     # Range-repartition the (small) encoded blocks so each shard writes ~one
     # term-sorted file: without this, encode_partitions × shards files get
@@ -368,6 +396,7 @@ def build_index_iceberg(
     num_shards: int = 32,
     block_size: int = BLOCK_SIZE,
     bits: int = 8,
+    codec: str = "varint",
 ) -> dict:
     """Sharded index build into an Iceberg table.
 
@@ -382,12 +411,14 @@ def build_index_iceberg(
     postings = build_postings(
         sharded.select("shard_id", "doc_id", "term_id", "weight"),
         scale, num_shards=num_shards, block_size=block_size, bits=bits,
+        codec=codec,
     )
     write_postings_iceberg(postings, table, num_shards)
     elapsed = time.time() - t0
     for k, v in [
         ("splade.scale", scale), ("splade.num_shards", num_shards),
         ("splade.block_size", block_size), ("splade.bits", bits),
+        ("splade.codec", codec),
     ]:
         spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('{k}'='{v}')")
     total = int(
@@ -410,6 +441,7 @@ def read_index_meta_iceberg(spark: SparkSession, table: str) -> dict:
         "num_shards": int(props["splade.num_shards"]),
         "block_size": int(props["splade.block_size"]),
         "bits": int(props.get("splade.bits", 8)),
+        "codec": props.get("splade.codec", "varint"),
     }
 
 

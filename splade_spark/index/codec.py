@@ -176,9 +176,13 @@ def encode_groups(
     This replaces a per-group applyInPandas, whose per-group pandas overhead
     dominates when Zipf tails make most groups tiny.
 
-    codec: 'varint' (LEB128 deltas; dense for mixed gap sizes) or 'for'
+    codec: 'varint' (LEB128 deltas; dense for mixed gap sizes, and the
+    whole batch's deltas are packed in ONE vectorized pass) or 'for'
     (per-block fixed-width bitpack; cheaper to decode in the query kernel,
-    but a single large gap inflates the whole block's width).
+    but a single large gap inflates the whole block's width, and packing
+    runs per block in a Python loop — on Zipf-tail corpora with millions
+    of tiny groups the FOR *build* is measurably slower than varint's,
+    which is part of why varint stays the default).
     """
     n = len(doc)
     if n == 0:

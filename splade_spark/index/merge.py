@@ -120,14 +120,18 @@ def merge_indexes(
     scale = metas[0]["scale"]
     num_shards = metas[0]["num_shards"]
     block_size = metas[0]["block_size"]
-    assert all(
+    # explicit raises, not asserts — these guard against silent index
+    # corruption and must survive python -O
+    if not all(
         m["scale"] == scale and m["num_shards"] == num_shards for m in metas
-    ), "segments must share quantization scale and shard count"
-    assert all(
+    ):
+        raise ValueError("segments must share quantization scale and shard count")
+    if not all(
         m.get("codec", "varint") == metas[0].get("codec", "varint")
         and m.get("bits", 8) == metas[0].get("bits", 8)
         for m in metas
-    ), "segments must share posting codec and quantization width"
+    ):
+        raise ValueError("segments must share posting codec and quantization width")
     # explicit schema: an empty segment (no parquet files under the
     # partition dirs) fails schema inference; its (None, None) range is
     # skipped below rather than TypeError-ing against int ranges

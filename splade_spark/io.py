@@ -62,7 +62,10 @@ def read_ir_corpus(docs: DataFrame) -> DataFrame:
 
         1. title + " " + text        (docs with both fields)
         2. decode(body, iso-8859-1) + " " + url   (web corpora)
-        3. text                      (plain collections)
+        3. title                     (title-only docs — the reference
+           crashes on these; dropping the title would silently index an
+           empty, unretrievable document)
+        4. text                      (plain collections)
 
     plus the reference's doc_id quote-strip. Schema-flexible: absent
     columns are treated as null, so one expression covers every
@@ -84,6 +87,7 @@ def read_ir_corpus(docs: DataFrame) -> DataFrame:
             body.isNotNull(),
             F.concat(body, F.lit(" "), F.coalesce(get("url"), F.lit(""))),
         ),
+        get("title"),
         get("text"),
         F.lit(""),
     )

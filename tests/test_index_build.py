@@ -54,6 +54,27 @@ def test_resume_repairs_missing_meta(spark, corpus, tmp_path):
     assert read_index_meta(path)["scale"] == scale
 
 
+def test_resume_rejects_mismatched_codec(spark, corpus, tmp_path):
+    """Continuing a killed --codec for build with default flags would
+    produce a silently mixed-codec index; the resume path must refuse."""
+    import os
+
+    _, w, scale = corpus
+    path = str(tmp_path / "idx")
+    build_index(w, path, scale, num_shards=4, codec="for")
+    # drop one ledger entry to simulate a kill mid-build
+    ledger = sorted(
+        f for f in os.listdir(os.path.join(path, "_ledger"))
+        if f.endswith(".json")
+    )
+    os.remove(os.path.join(path, "_ledger", ledger[0]))
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        build_index(w, path, scale, num_shards=4)  # codec defaults to varint
+    # matching flags resume fine
+    m = build_index(w, path, scale, num_shards=4, codec="for")
+    assert m["built_shards"] == 1 and m["skipped_shards"] == 3
+
+
 def test_for_codec_build_query_identity(spark, corpus, tmp_path):
     """FOR-bitpacked index answers rank- and score-identically to the
     varint index (same quantized domain, different delta encoding)."""

@@ -48,6 +48,7 @@ def test_ir_corpus_coalescing(spark):
             ("d2", None, None, bytearray(b"web body"), "http://x"),
             ("d3", None, "plain", None, None),
             ("d4", None, None, None, None),
+            ("d5", "title only", None, None, None),
         ],
         "doc_id string, title string, text string, body binary, url string",
     )
@@ -57,6 +58,7 @@ def test_ir_corpus_coalescing(spark):
         "d2": "web body http://x",
         "d3": "plain",
         "d4": "",
+        "d5": "title only",
     }
     # schema-flexible: a text-only frame works too
     slim = spark.createDataFrame(
