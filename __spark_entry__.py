@@ -561,12 +561,53 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing smoke (synthetic assets; rows-only check)."""
-    from splade_spark.pipeline.multimodal import extract_features, synthetic_assets
+    """Multimodal binary-column plumbing, oracle-checked on everything
+    deterministic: assets derive from the documents table (payload =
+    utf-8 bytes of text, kind by doc_id mod 3, typed width/height meta),
+    then the real Spark stages run — Arrow feature-extract over binary
+    payloads (stub decode; its PRNG values aren't SQL-expressible, so the
+    checked output is the feature dimensionality), video frame sampling
+    (count per asset), and resize planning. DuckDB replays payload
+    lengths, frame counts and target dims exactly."""
+    from splade_spark.pipeline.multimodal import (
+        extract_features,
+        resize_meta,
+        sample_frames,
+    )
 
-    feats = extract_features(synthetic_assets(spark, 200))
-    return feats.select(
-        "asset_id", "kind", F.round(F.element_at("feature", 1), 6).alias("f0")
+    docs = _docs(spark, sf_dir)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("width"), (F.col("n_chars") % 497 + 16).cast("string"),
+            F.lit("height"), (F.col("n_chars") % 331 + 16).cast("string"),
+            F.lit("codec"), F.lit("raw"),
+        ).alias("meta"),
+    )
+    feats = extract_features(assets).select(
+        "asset_id", F.size("feature").cast("long").alias("feature_dim")
+    )
+    frames = sample_frames(assets).groupBy("asset_id").agg(
+        F.count("*").alias("n_frames")
+    )
+    rs = resize_meta(assets)
+    return (
+        rs.join(feats, "asset_id")
+        .join(frames, "asset_id", "left")
+        .select(
+            "asset_id",
+            "kind",
+            F.length("payload").cast("long").alias("payload_len"),
+            "feature_dim",
+            F.coalesce("n_frames", F.lit(0)).cast("long").alias("n_frames"),
+            F.col("target_width").cast("long").alias("target_width"),
+            F.col("target_height").cast("long").alias("target_height"),
+        )
     )
 
 
@@ -1165,6 +1206,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id,
               round(si / (SELECT scale FROM sc), 6) AS score, rank
             FROM r WHERE rank <= 10
+        """,
+        "multimodal_features": """
+            WITH a AS (
+              SELECT doc_id AS asset_id,
+                (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+                octet_length(encode(text)) AS payload_len,
+                (n_chars % 497 + 16)::DOUBLE AS w,
+                (n_chars % 331 + 16)::DOUBLE AS h
+              FROM documents
+            )
+            SELECT asset_id, kind, payload_len::BIGINT AS payload_len,
+              32::BIGINT AS feature_dim,
+              (CASE WHEN kind = 'video'
+                    THEN least(8, greatest(1, payload_len // 64))
+                    ELSE 0 END)::BIGINT AS n_frames,
+              CAST(round(w * least(256.0 / w, 256.0 / h, 1.0))
+                   AS BIGINT) AS target_width,
+              CAST(round(h * least(256.0 / w, 256.0 / h, 1.0))
+                   AS BIGINT) AS target_height
+            FROM a
         """,
         "revenue_top5": """
             WITH rev AS (
