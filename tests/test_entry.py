@@ -78,6 +78,11 @@ def test_all_queries_have_callable():
 
 def test_rows_only_queries_run(spark):
     qs = entrymod.queries()
+    # round 2: every harness query carries a DuckDB oracle — keep this
+    # loop as the guard that a future rows-only entry at least executes
+    assert set(qs) == set(entrymod.oracle_sql()), (
+        "all harness queries are expected to be oracle-checked"
+    )
     for name in set(qs) - set(entrymod.oracle_sql()):
         df = qs[name](spark, SF_DIR)
         assert df.count() >= 0 and len(df.columns) > 0, name
