@@ -37,9 +37,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores or 32, 32)
 
+    # under spark-submit the JVM already exists with the submitted
+    # --master/--conf (PYSPARK_GATEWAY_PORT is set by the launcher);
+    # forcing local[...] here would override the cluster master
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    builder = SparkSession.builder
+    if not under_submit:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
