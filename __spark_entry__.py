@@ -554,7 +554,8 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from splade_spark.pipeline.similarity import cosine_near_dup_pairs
 
     emb = _emb(spark, sf_dir)
-    pairs = cosine_near_dup_pairs(emb, tau=0.35, nbits=4)
+    # dim passed through → no one-row inference job per call
+    pairs = cosine_near_dup_pairs(emb, tau=0.35, nbits=4, dim=64)
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )

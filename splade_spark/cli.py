@@ -72,15 +72,50 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("--segments", required=True, nargs="+")
     mp.add_argument("--out", required=True)
 
+    # session options shared by every subcommand: without these the
+    # iceberg path could never reach a configured catalog except under
+    # spark-submit with externally supplied --conf
+    for sp_ in (sp, bp, qp, ep, mp):
+        sp_.add_argument(
+            "--warehouse", default=None,
+            help="Iceberg warehouse root — registers a hadoop catalog "
+                 "named 'local' (tables: local.db.tbl)")
+        sp_.add_argument(
+            "--conf", action="append", default=[], metavar="K=V",
+            help="extra Spark conf, repeatable (e.g. "
+                 "--conf spark.sql.catalog.prod=org.apache.iceberg...)")
+
     args = p.parse_args(argv)
     # fail fast on argument combinations BEFORE any Spark job runs (a
     # missing --table should not surface after scanning a 100 GB corpus)
     if args.cmd == "build" and args.format == "iceberg" and not args.table:
         p.error("--format iceberg requires --table")
+    bad = [kv for kv in args.conf if "=" not in kv]
+    if bad:
+        p.error(f"--conf expects K=V, got: {' '.join(bad)}")
 
     from .session import get_spark
 
-    spark = get_spark(f"splade_{args.cmd}")
+    spark = get_spark(
+        f"splade_{args.cmd}",
+        extra_conf=dict(kv.split("=", 1) for kv in args.conf) or None,
+        iceberg_warehouse=args.warehouse,
+    )
+
+    def _check_catalog(table: str) -> None:
+        """Verify the table's catalog resolves BEFORE any corpus scan —
+        an unresolved catalog must not surface after a full encode."""
+        catalog = table.split(".", 1)[0] if "." in table else None
+        if not catalog:
+            return
+        try:
+            spark.sql(f"SHOW NAMESPACES IN {catalog}").collect()
+        except Exception as exc:
+            p.error(
+                f"Iceberg catalog '{catalog}' is not resolvable — pass "
+                f"--warehouse or --conf spark.sql.catalog.{catalog}.*=... "
+                f"({type(exc).__name__}: {exc})"
+            )
 
     if args.cmd == "synth":
         from .fixtures import transcripts
@@ -98,6 +133,20 @@ def main(argv: list[str] | None = None) -> int:
 
         from .index.build import build_index
 
+        # resolve format + verify the catalog BEFORE the corpus scan
+        fmt = args.format
+        if fmt == "auto":
+            from .index.build import iceberg_available
+
+            fmt = (
+                "iceberg"
+                if args.table and iceberg_available(spark)
+                else "parquet"
+            )
+            _log(f"format auto → {fmt}")
+        if fmt == "iceberg":
+            _check_catalog(args.table)
+
         t0 = time.time()
         tr = spark.read.parquet(args.transcripts)
         docs = build_documents(tr)
@@ -109,16 +158,6 @@ def main(argv: list[str] | None = None) -> int:
         _log(f"corpus: N={n} avgdl={avgdl:.2f} ({time.time() - t0:.1f}s)")
         w = bm25_weights(tf, n, avgdl).select("doc_id", "term_id", "weight")
         scale = quantization_scale(w)
-        fmt = args.format
-        if fmt == "auto":
-            from .index.build import iceberg_available
-
-            fmt = (
-                "iceberg"
-                if args.table and iceberg_available(spark)
-                else "parquet"
-            )
-            _log(f"format auto → {fmt}")
         if fmt == "iceberg":
             from .index.build import build_index_iceberg
 
@@ -158,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.table:
             from .index.build import load_postings_iceberg, read_index_meta_iceberg
 
+            _check_catalog(args.table)
             meta = read_index_meta_iceberg(spark, args.table)
             postings = load_postings_iceberg(spark, args.table)
         elif args.index:
@@ -181,6 +221,10 @@ def main(argv: list[str] | None = None) -> int:
             num_shards=meta["num_shards"],
             bits=meta.get("bits", 8),
             codec=meta.get("codec", "varint"),
+            # serving path: per-shard top-k is ≤ k×shards tiny rows —
+            # merge on the driver instead of paying a window-exchange
+            # Spark stage per batch
+            merge="driver",
         )
         write_runs_parquet(runs, args.out)
         _log(f"query: k={args.k} wall={time.time() - t0:.2f}s → {args.out}")

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import BLOCK_SIZE
-from .codec import encode_groups
+from .codec import check_bits, encode_groups
 
 POSTINGS_SCHEMA = (
     "shard_id int, term_id long, block_id int, first_doc long, last_doc long, "
@@ -361,7 +361,8 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def write_postings_iceberg(
-    postings: DataFrame, table: str, num_shards: int
+    postings: DataFrame, table: str, num_shards: int,
+    properties: dict | None = None,
 ) -> None:
     """Iceberg sink for posting blocks (north-rule table layout).
 
@@ -371,6 +372,11 @@ def write_postings_iceberg(
     so the query path's term filter prunes files without listing). The
     caller's catalog must be configured (session.get_spark
     iceberg_warehouse=...); requires the iceberg-spark-runtime jar.
+
+    properties: table properties attached to the SAME createOrReplace
+    commit as the data — meta and data publish in one Iceberg snapshot, so
+    a crash anywhere leaves either the previous good table or the complete
+    new one, never data without meta.
     """
     spark = postings.sparkSession
     if not iceberg_available(spark):
@@ -382,7 +388,10 @@ def write_postings_iceberg(
     arranged = postings.repartition(num_shards, "shard_id").sortWithinPartitions(
         "shard_id", "term_id", "block_id"
     )
-    arranged.writeTo(table).partitionedBy(F.col("shard_id")).createOrReplace()
+    writer = arranged.writeTo(table)
+    for k, v in (properties or {}).items():
+        writer = writer.tableProperty(k, str(v))
+    writer.partitionedBy(F.col("shard_id")).createOrReplace()
 
 
 def load_postings_iceberg(spark: SparkSession, table: str) -> DataFrame:
@@ -403,8 +412,11 @@ def build_index_iceberg(
     Same encode pipeline as build_index; the ledger/meta live as Iceberg
     table properties (splade.scale etc.) instead of sidecar JSON, and
     atomicity/idempotence comes from Iceberg's snapshot commit rather than
-    the per-shard filesystem ledger (a failed write never publishes a
-    snapshot, so 'resume' is simply re-running the job)."""
+    the per-shard filesystem ledger. Data AND properties publish in the
+    single createOrReplace snapshot (tableProperty on the writer, not
+    post-hoc ALTERs) — a failed write never publishes a table that
+    read_index_meta_iceberg cannot open, and the previous good index
+    survives until the new one is complete."""
     spark = weights.sparkSession
     t0 = time.time()
     sharded = with_shard(weights, num_shards)
@@ -413,14 +425,17 @@ def build_index_iceberg(
         scale, num_shards=num_shards, block_size=block_size, bits=bits,
         codec=codec,
     )
-    write_postings_iceberg(postings, table, num_shards)
+    write_postings_iceberg(
+        postings, table, num_shards,
+        properties={
+            "splade.scale": scale,
+            "splade.num_shards": num_shards,
+            "splade.block_size": block_size,
+            "splade.bits": bits,
+            "splade.codec": codec,
+        },
+    )
     elapsed = time.time() - t0
-    for k, v in [
-        ("splade.scale", scale), ("splade.num_shards", num_shards),
-        ("splade.block_size", block_size), ("splade.bits", bits),
-        ("splade.codec", codec),
-    ]:
-        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('{k}'='{v}')")
     total = int(
         load_postings_iceberg(spark, table).agg(F.sum("n")).collect()[0][0] or 0
     )
@@ -440,14 +455,17 @@ def read_index_meta_iceberg(spark: SparkSession, table: str) -> dict:
         "scale": float(props["splade.scale"]),
         "num_shards": int(props["splade.num_shards"]),
         "block_size": int(props["splade.block_size"]),
-        "bits": int(props.get("splade.bits", 8)),
+        "bits": check_bits(props.get("splade.bits", 8)),
         "codec": props.get("splade.codec", "varint"),
     }
 
 
 def read_index_meta(path: str) -> dict:
     with open(os.path.join(path, "_index_meta.json")) as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    # fail loudly here rather than decoding garbage weights in the kernel
+    check_bits(meta.get("bits", 8))
+    return meta
 
 
 def load_postings(spark: SparkSession, path: str) -> DataFrame:

@@ -103,12 +103,77 @@ def decode_for(buf: bytes, n: int) -> np.ndarray:
     )
 
 
+def encode_for_blocks(dvals: np.ndarray, dcount_cum: np.ndarray) -> list[bytes]:
+    """FOR-pack MANY blocks in one vectorized pass (same wire format as
+    ``encode_for`` per block, byte-for-byte).
+
+    dvals: all blocks' deltas concatenated; dcount_cum[b]..dcount_cum[b+1]
+    slices block b. Blocks are grouped by bit width and each width class is
+    packed with ONE scatter + packbits — replacing the per-block Python
+    loop, whose call overhead dominated FOR build time on Zipf-tail corpora
+    where millions of groups are a single short block."""
+    nb = len(dcount_cum) - 1
+    counts = np.diff(dcount_cum).astype(np.int64)
+    out: list[bytes] = [b"\x00"] * nb
+    if len(dvals) == 0 or nb == 0:
+        return out
+    dvals = np.asarray(dvals, dtype=np.uint64)
+    ne = np.flatnonzero(counts > 0)
+    if len(ne) == 0:
+        return out
+    maxes = np.maximum.reduceat(dvals, dcount_cum[ne])
+    widths = np.zeros(len(ne), dtype=np.int64)
+    tmp = maxes.copy()
+    while True:
+        m = tmp > 0
+        if not m.any():
+            break
+        widths[m] += 1
+        tmp >>= np.uint64(1)
+    for w in np.unique(widths):
+        w = int(w)
+        if w == 0:
+            continue  # all-zero deltas keep the b"\x00" sentinel
+        sel = ne[widths == w]
+        c = counts[sel]
+        nbytes = (c * w + 7) // 8
+        base_bits = np.concatenate(([0], np.cumsum(nbytes * 8)))
+        # gather the class's deltas: block-relative index arithmetic only
+        rep = np.repeat(np.arange(len(sel)), c)
+        within = np.arange(int(c.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(c)[:-1])), c
+        )
+        vals = dvals[dcount_cum[sel][rep] + within]
+        bits = ((vals[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.uint8
+        )
+        bitbuf = np.zeros(int(base_bits[-1]), dtype=np.uint8)
+        pos = (base_bits[rep] + within * w)[:, None] + np.arange(w)
+        bitbuf[pos.ravel()] = bits.ravel()
+        packed = np.packbits(bitbuf, bitorder="little").tobytes()
+        hdr = bytes([w])
+        byte_off = base_bits // 8
+        for i, b in enumerate(sel):  # cheap: slicing a shared buffer
+            out[b] = hdr + packed[byte_off[i] : byte_off[i] + nbytes[i]]
+    return out
+
+
+def check_bits(bits: int) -> int:
+    """Weight widths are stored as u8/u16; anything past 16 bits would wrap
+    silently in astype(uint16) and decode as garbage. Fail loudly instead,
+    both at quantize time and wherever ``bits`` is read back from index meta."""
+    if not 1 <= int(bits) <= 16:
+        raise ValueError(f"quantization bits must be in [1, 16], got {bits}")
+    return int(bits)
+
+
 def quantize_weights(weights: np.ndarray, scale: float, bits: int = 8) -> np.ndarray:
     """w → round(w*scale) clipped to [0, 2^bits-1] (u8 by default).
 
     Matches the reference's Anserini quantization rint(w*Q)
     (splade/tasks/transformer_evaluator.py:229) with a global scale chosen
     from the corpus max (PISA --scorer quantized)."""
+    bits = check_bits(bits)
     q = np.rint(np.asarray(weights, dtype=np.float64) * scale)
     hi = float(2**bits - 1)
     dtype = np.uint8 if bits <= 8 else np.uint16
@@ -179,10 +244,10 @@ def encode_groups(
     codec: 'varint' (LEB128 deltas; dense for mixed gap sizes, and the
     whole batch's deltas are packed in ONE vectorized pass) or 'for'
     (per-block fixed-width bitpack; cheaper to decode in the query kernel,
-    but a single large gap inflates the whole block's width, and packing
-    runs per block in a Python loop — on Zipf-tail corpora with millions
-    of tiny groups the FOR *build* is measurably slower than varint's,
-    which is part of why varint stays the default).
+    but a single large gap inflates the whole block's width). FOR packing
+    is also vectorized (``encode_for_blocks``: one scatter + packbits per
+    bit-width class); varint stays the default because its byte stream is
+    denser on mixed Zipf-tail gap distributions.
     """
     n = len(doc)
     if n == 0:
@@ -220,10 +285,7 @@ def encode_groups(
     isz = q.itemsize
 
     if codec == "for":
-        doc_bytes = [
-            encode_for(dvals[dcount_cum[b] : dcount_cum[b + 1]])
-            for b in range(nb)
-        ]
+        doc_bytes = encode_for_blocks(dvals, dcount_cum)
     else:
         dbytes_arr, dlens = encode_varint_with_lens(dvals)
         dbuf = dbytes_arr.tobytes()
@@ -248,6 +310,31 @@ def encode_groups(
     }
 
 
+def decode_block_raw(
+    first_doc: int,
+    n: int,
+    doc_bytes: bytes,
+    w_bytes: bytes,
+    bits: int = 8,
+    codec: str = "varint",
+) -> tuple[np.ndarray, np.ndarray]:
+    """One block → (doc_ids int64, quantized weights int64) — no float
+    divide. This is the query kernel's hot path: it scores in the integer
+    quantized-impact domain, so dequantizing here would be a wasted
+    vectorized divide + allocation per block decode."""
+    if codec == "for":
+        deltas = decode_for(doc_bytes, n - 1)
+    else:
+        deltas = decode_varint(doc_bytes)
+    docs = np.empty(n, dtype=np.int64)
+    docs[0] = first_doc
+    if n > 1:
+        docs[1:] = first_doc + np.cumsum(deltas.astype(np.int64))
+    dtype = np.uint8 if bits <= 8 else np.uint16
+    q = np.frombuffer(w_bytes, dtype=dtype).astype(np.int64)
+    return docs, q
+
+
 def decode_block(
     first_doc: int,
     n: int,
@@ -258,14 +345,5 @@ def decode_block(
     codec: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of encode_blocks for one block → (doc_ids, dequant weights)."""
-    if codec == "for":
-        deltas = decode_for(doc_bytes, n - 1)
-    else:
-        deltas = decode_varint(doc_bytes)
-    docs = np.empty(n, dtype=np.int64)
-    docs[0] = first_doc
-    if n > 1:
-        docs[1:] = first_doc + np.cumsum(deltas.astype(np.int64))
-    dtype = np.uint8 if bits <= 8 else np.uint16
-    q = np.frombuffer(w_bytes, dtype=dtype)
+    docs, q = decode_block_raw(first_doc, n, doc_bytes, w_bytes, bits, codec)
     return docs, dequantize_weights(q, scale)

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 import numpy as np
 
-from .build import POSTINGS_SCHEMA, read_index_meta
+from .build import POSTINGS_SCHEMA, _write_index_meta, read_index_meta
 from .codec import decode_block, encode_groups
 
 
@@ -163,20 +163,19 @@ def merge_indexes(
         .partitionBy("shard_id")
         .parquet(out_path)
     )
-    import json, os
-
-    with open(os.path.join(out_path, "_index_meta.json"), "w") as fh:
-        json.dump(
-            {
-                "scale": scale,
-                "num_shards": num_shards,
-                "block_size": block_size,
-                "bits": metas[0].get("bits", 8),
-                "codec": metas[0].get("codec", "varint"),
-                "lineage": {"merged_from": segment_paths},
-            },
-            fh,
-        )
+    # atomic tmp+rename, same as the build path: a crash mid-write must not
+    # leave a merged index the query path cannot open
+    _write_index_meta(
+        out_path,
+        {
+            "scale": scale,
+            "num_shards": num_shards,
+            "block_size": block_size,
+            "bits": metas[0].get("bits", 8),
+            "codec": metas[0].get("codec", "varint"),
+            "lineage": {"merged_from": segment_paths},
+        },
+    )
     return {"segments": len(segment_paths), "out": out_path}
 
 

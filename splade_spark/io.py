@@ -167,11 +167,13 @@ def export_anserini_jsonl(
     """S12: per-doc {"id", "content", "vector": {term: int impact}} JSONL.
 
     Quantization rint(w*Q) per the reference (transformer_evaluator.py:229);
-    docs whose vector quantizes to empty get the filler token with impact 1
-    (the reference's empty-doc patch, :236-239). One shuffle (groupBy doc),
-    written distributed as JSON lines."""
+    np.rint is HALF_EVEN, so F.bround (not F.round's HALF_UP) — a weight
+    landing exactly on .5×(1/Q) must export the same impact the reference
+    would. Docs whose vector quantizes to empty get the filler token with
+    impact 1 (the reference's empty-doc patch, :236-239). One shuffle
+    (groupBy doc), written distributed as JSON lines."""
     impacts = weights.withColumn(
-        "impact", F.round(F.col("weight") * quantization_factor).cast("int")
+        "impact", F.bround(F.col("weight") * quantization_factor).cast("int")
     ).filter(F.col("impact") > 0)
     vectors = impacts.groupBy("doc_id").agg(
         F.map_from_arrays(
@@ -205,9 +207,10 @@ def export_anserini_queries_tsv(
     query_weights: DataFrame, path: str, quantization_factor: float = 100.0
 ) -> None:
     """S13: `qid \\t term term term ...` with each term repeated impact
-    times (explode + repeat + concat, JVM-side)."""
+    times (explode + repeat + concat, JVM-side). HALF_EVEN rounding
+    (F.bround) to match the reference's np.rint."""
     q = query_weights.withColumn(
-        "impact", F.round(F.col("weight") * quantization_factor).cast("int")
+        "impact", F.bround(F.col("weight") * quantization_factor).cast("int")
     ).filter(F.col("impact") > 0)
     lines = q.groupBy("query_id").agg(
         F.concat_ws(

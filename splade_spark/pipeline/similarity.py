@@ -258,6 +258,14 @@ def ivf_cosine_topk(
     return brute_cosine_topk(cands, query_vectors, k, id_col, vec_col)
 
 
+def _dot_expr(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     tau: float = 0.95,
@@ -265,34 +273,69 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = SEED,
+    dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine >= tau): embedding near-duplicate pairs.
 
     Candidates from shared LSH bucket (high-cosine pairs collide with
     probability (1 - θ/π)^nbits), verified exactly with a zip_with dot
-    product — JVM-side, no Python in the verify."""
-    sigs = hyperplane_signatures(embeddings, nbits, None, id_col, vec_col, seed)
+    product — JVM-side, no Python in the verify.
+
+    dim: embedding dimensionality — pass it to skip the one-row inference
+    job that hyperplane_signatures otherwise runs per call.
+
+    max_bucket_size: skew guard for the within-bucket self-join (the
+    shingle pipeline's max_shingle_df analogue, dedup.py). A degenerate
+    bucket — skewed or normalized-collapsed embeddings are common in real
+    corpora — otherwise goes quadratic. Buckets over the cap switch to
+    star linking: every member is verified against the bucket's min-id
+    representative only (linear in bucket size). For the dominant
+    degenerate case (identical/collapsed vectors, which NO hyperplane
+    split can separate) this still yields every member's duplicate edge;
+    pairs in an oversized bucket whose cosine ≥ tau with each other but
+    not with the representative are the accepted recall trade."""
+    sigs = hyperplane_signatures(embeddings, nbits, dim, id_col, vec_col, seed)
     e = embeddings.join(sigs, id_col)
-    a = e.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
-    )
-    b = e.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
-    )
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    if max_bucket_size is not None:
+        stats = sigs.groupBy("bucket").agg(
+            F.count("*").alias("_bsize"), F.min(id_col).alias("_rep")
+        )
+        e = e.join(F.broadcast(stats), "bucket")
+        small = e.filter(F.col("_bsize") <= max_bucket_size)
+        big = e.filter(F.col("_bsize") > max_bucket_size)
+        small_pairs = _bucket_self_join(small, id_col, vec_col)
+        reps = big.filter(F.col(id_col) == F.col("_rep")).select(
+            "bucket",
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+        )
+        big_pairs = (
+            big.filter(F.col(id_col) != F.col("_rep"))
+            .select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+            .join(F.broadcast(reps), "bucket")
+        )
+        cand = small_pairs.unionByName(big_pairs.select(small_pairs.columns))
+    else:
+        cand = _bucket_self_join(e, id_col, vec_col)
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        cand.withColumn(
             "cosine",
-            dot(F.col("va"), F.col("vb"))
-            / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
+            _dot_expr(F.col("va"), F.col("vb"))
+            / (
+                F.sqrt(_dot_expr(F.col("va"), F.col("va")))
+                * F.sqrt(_dot_expr(F.col("vb"), F.col("vb")))
+            ),
         )
         .filter(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
         .distinct()
+    )
+
+
+def _bucket_self_join(e: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "va", "id_b", "vb"
     )

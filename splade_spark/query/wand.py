@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..index.codec import decode_block
+from ..index.codec import check_bits, decode_block_raw
 
 CHUNK = 8  # intervals scored per refinement round
 
@@ -91,7 +91,6 @@ def _score_query_in_shard(
     theta = theta0
     if decoded is None:
         decoded = {}
-    wdtype = np.uint8 if bits <= 8 else np.uint16  # must match codec bits
 
     pos = 0
     while pos < m:
@@ -117,11 +116,10 @@ def _score_query_in_shard(
                     blk = decoded.get(key)
                     if blk is None:
                         first, n, dbytes, wbytes = rows[j]
-                        d, _ = decode_block(
-                            first, n, dbytes, wbytes, scale, bits, codec
-                        )
-                        q = np.frombuffer(wbytes, dtype=wdtype).astype(np.int64)
-                        blk = (d, q)
+                        # raw int decode: the kernel scores in the quantized
+                        # integer domain, so one parse per block, no float
+                        # divide ever
+                        blk = decode_block_raw(first, n, dbytes, wbytes, bits, codec)
                         decoded[key] = blk
                     d, q = blk
                     sel = (d >= lo) & (d < hi)
@@ -156,6 +154,7 @@ def retrieve(
     num_shards: int | None = None,
     bits: int = 8,
     codec: str = "varint",
+    merge: str = "window",
 ) -> DataFrame:
     """Top-k BM25 over a block-compressed sharded index.
 
@@ -167,7 +166,17 @@ def retrieve(
     extra max(shard_id) Spark job runs per batch (a full postings-scan in
     a query-serving loop). bits: quantization width from the same meta
     (u8/u16 weight bytes decode differently; a mismatch is garbage scores).
+
+    merge: 'window' runs the global (score desc, doc asc) top-k as a Spark
+    window job — fully distributed, use for huge query batches. 'driver'
+    collects the per-shard top-k (≤ k×num_shards tiny rows per query) and
+    merges on the driver — one fewer Spark stage per batch, the serving
+    path for interactive/small batches (the reference's mono-CPU latency
+    protocol analogue, efficient_splade_pisa/README.md:47-59). Identical
+    results by construction: both orders are (score_int desc, doc_id asc)
+    over the same shard-local integer scores.
     """
+    check_bits(bits)
     spark = postings.sparkSession
     if isinstance(query_terms, pd.DataFrame):
         # query-service path: terms already driver-side, skip the Spark job
@@ -259,6 +268,32 @@ def retrieve(
     local = relevant.repartition(max(4 * num_shards, par), "shard_id").mapInPandas(
         kernel, schema="query_id string, doc_id long, score_int long"
     )
+    out_schema = "query_id string, doc_id long, score double, rank int"
+    if merge == "driver":
+        pdf = local.toPandas()
+        parts = []
+        for qid, g in pdf.groupby("query_id", sort=False):
+            docs = g["doc_id"].to_numpy(np.int64)
+            scores = g["score_int"].to_numpy(np.int64)
+            docs, scores = _topk_merge(docs, scores, k)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "doc_id": docs,
+                        "score": scores / float(scale),
+                        "rank": np.arange(1, len(docs) + 1, dtype=np.int32),
+                    }
+                )
+            )
+        merged = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": [], "rank": []}
+            )
+        )
+        return spark.createDataFrame(merged, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_int").desc(), F.col("doc_id").asc()
     )

@@ -107,3 +107,70 @@ def test_encode_groups_for_equals_varint(postings):
         decoded[codec] = (np.concatenate(dd), np.concatenate(ww))
     assert np.array_equal(decoded["varint"][0], decoded["for"][0])
     assert np.array_equal(decoded["varint"][1], decoded["for"][1])
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**53 - 1), max_size=130),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_encode_for_blocks_matches_per_block(blocks):
+    """The vectorized width-class packer must be byte-identical to the
+    reference per-block encode_for (same wire format, decode_for-safe)."""
+    from splade_spark.index.codec import decode_for, encode_for, encode_for_blocks
+
+    counts = np.array([len(b) for b in blocks], dtype=np.int64)
+    dvals = np.array([v for b in blocks for v in b], dtype=np.uint64)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    fast = encode_for_blocks(dvals, cum)
+    for i, b in enumerate(blocks):
+        assert fast[i] == encode_for(np.array(b, dtype=np.uint64))
+        assert np.array_equal(
+            decode_for(fast[i], len(b)), np.array(b, dtype=np.uint64)
+        )
+
+
+def test_decode_block_raw_integer_parity():
+    """decode_block_raw returns the quantized int64 weights the WAND kernel
+    scores with — dividing by scale must reproduce decode_block exactly."""
+    from splade_spark.index.codec import decode_block_raw
+
+    rng = np.random.default_rng(7)
+    docs = np.sort(rng.choice(10**6, size=300, replace=False)).astype(np.int64)
+    weights = rng.uniform(0.01, 20.0, size=300)
+    scale = 255.0 / 20.0
+    for codec in ("varint", "for"):
+        for (bid, first, last, n, dbytes, wbytes, bmax) in encode_blocks(
+            docs, weights, scale, block_size=128
+        ):
+            d1, w1 = decode_block(first, n, dbytes, wbytes, scale)
+            d2, q2 = decode_block_raw(first, n, dbytes, wbytes)
+            assert q2.dtype == np.int64
+            assert np.array_equal(d1, d2)
+            assert np.array_equal(w1, q2 / scale)
+
+
+def test_quantize_bits_guard():
+    """bits > 16 would wrap in uint16 and decode as garbage — must raise,
+    both at quantize time and when read back from index meta."""
+    import json
+
+    from splade_spark.index.build import read_index_meta
+    from splade_spark.index.codec import check_bits
+
+    for bad in (0, 17, 32, -1):
+        with np.testing.assert_raises(ValueError):
+            quantize_weights(np.array([1.0]), 10.0, bits=bad)
+        with np.testing.assert_raises(ValueError):
+            check_bits(bad)
+    for ok in (1, 8, 16):
+        quantize_weights(np.array([1.0]), 10.0, bits=ok)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "_index_meta.json"), "w") as fh:
+            json.dump({"scale": 1.0, "num_shards": 1, "bits": 32}, fh)
+        with np.testing.assert_raises(ValueError):
+            read_index_meta(d)

@@ -186,3 +186,23 @@ def test_engine_pruned_equals_exact(spark, corpus, tmp_path):
     pruned = retrieve(postings, qt, scale, k=20, prune=True)
     exact = retrieve(postings, qt, scale, k=20, prune=False)
     assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_driver_merge_equals_window_merge(spark, corpus, tmp_path):
+    """The serving path (per-shard top-k collected + merged on the driver)
+    must be result-identical to the distributed window merge — both order
+    by (score_int desc, doc_id asc) over the same shard-local scores."""
+    _, w, scale = corpus
+    path = str(tmp_path / "idx_dm")
+    build_index(w, path, scale, num_shards=4)
+    postings = load_postings(spark, path).cache()
+    qt = query_term_freqs(queries_df(spark))
+    win = retrieve(postings, qt, scale, k=15, num_shards=4)
+    drv = retrieve(postings, qt, scale, k=15, num_shards=4, merge="driver")
+    key = lambda r: (r.query_id, r.rank, r.doc_id, round(r.score, 9))  # noqa: E731
+    assert sorted(map(key, win.collect())) == sorted(map(key, drv.collect()))
+    # same column names and types (nullability differs: createDataFrame
+    # marks driver-built columns nullable)
+    assert [(f.name, f.dataType) for f in win.schema] == [
+        (f.name, f.dataType) for f in drv.schema
+    ]

@@ -165,3 +165,43 @@ def test_cli_end_to_end(spark, tmp_path):
         qd.setdefault(r.query_id, {})[str(r.doc_id)] = 1
     qrels.write_text(json.dumps(qd))
     assert main(["evaluate", "--run", rdir, "--qrels", str(qrels)]) == 0
+
+
+def test_anserini_export_half_even_rounding(spark, tmp_path):
+    """Reference parity: the export quantizes with np.rint — HALF_EVEN
+    (splade/tasks/transformer_evaluator.py:229). A weight product landing
+    exactly on .5 must round to the even neighbor (112.5 → 112, 87.5 → 88),
+    not HALF_UP's 113/88."""
+    docs = spark.createDataFrame([(0, "x"), (1, "y")], "doc_id long, text string")
+    weights = spark.createDataFrame(
+        [(0, "x", 1.125), (1, "y", 0.875)],  # *100 → exactly 112.5 / 87.5
+        "doc_id long, term string, weight double",
+    )
+    out = tmp_path / "anserini_he"
+    export_anserini_jsonl(weights, docs, str(out), quantization_factor=100.0)
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            lines += open(out / f).read().splitlines()
+    recs = {json.loads(l)["id"]: json.loads(l)["vector"] for l in lines}
+    assert recs["0"] == {"x": 112}  # HALF_UP would export 113
+    assert recs["1"] == {"y": 88}
+
+    qw = spark.createDataFrame(
+        [("q1", "x", 0.025)],  # *100 → 2.5 → HALF_EVEN 2 (HALF_UP: 3)
+        "query_id string, term string, weight double",
+    )
+    qout = tmp_path / "queries_he"
+    export_anserini_queries_tsv(qw, str(qout), quantization_factor=100.0)
+    qlines = []
+    for f in os.listdir(qout):
+        if f.startswith("part-"):
+            qlines += open(qout / f).read().splitlines()
+    assert qlines[0].split("\t")[1].split() == ["x", "x"]
+
+
+def test_cli_rejects_malformed_conf():
+    from splade_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["synth", "--out", "/tmp/x", "--conf", "notakv"])

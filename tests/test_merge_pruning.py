@@ -100,3 +100,31 @@ def test_prune_quantile_vs_duckdb(spark, corpus):
            SELECT count(*) FROM w JOIN th USING(term_id) WHERE weight > t"""
     ).fetchone()[0]
     assert got == exp
+
+
+def test_merge_killed_before_meta_is_rerunnable(spark, corpus, tmp_path):
+    """A merge killed between the postings write and the meta write leaves
+    an index the query path cannot open; re-running the merge must be
+    idempotent (dynamic partition overwrite) and publish a complete,
+    openable index identical to an uninterrupted merge."""
+    import os
+
+    from splade_spark.index.build import read_index_meta
+
+    tf, w, scale = corpus
+    seg_a = w.filter(F.col("doc_id") < 50)
+    seg_b = w.filter(F.col("doc_id") >= 50)
+    pa, pb, pm = (str(tmp_path / x) for x in ["a", "b", "m"])
+    build_index(seg_a, pa, scale, num_shards=4)
+    build_index(seg_b, pb, scale, num_shards=4)
+    merge_indexes(spark, [pa, pb], pm)
+    before = sorted(map(tuple, load_postings(spark, pm).collect()))
+    # simulate the kill: postings are on disk, meta never landed
+    os.remove(os.path.join(pm, "_index_meta.json"))
+    with pytest.raises(FileNotFoundError):
+        read_index_meta(pm)
+    merge_indexes(spark, [pa, pb], pm)  # re-run = resume
+    meta = read_index_meta(pm)
+    assert meta["num_shards"] == 4 and meta["scale"] == scale
+    after = sorted(map(tuple, load_postings(spark, pm).collect()))
+    assert before == after

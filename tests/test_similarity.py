@@ -87,7 +87,47 @@ def test_near_dup_pairs(spark):
         (3, rng.standard_normal(16).tolist()),  # unrelated
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = cosine_near_dup_pairs(df, tau=0.99, nbits=8)
+    pairs = cosine_near_dup_pairs(df, tau=0.99, nbits=8, dim=16)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 1) in got and (0, 2) in got and (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_near_dup_bucket_cap_degenerate_corpus(spark):
+    """Skew guard: a corpus whose embeddings all collapse into ONE LSH
+    bucket (identical vectors — no hyperplane can split them) must not go
+    quadratic. With max_bucket_size set, oversized buckets switch to
+    star linking against the min-id representative: candidate count is
+    linear (n-1 pairs), and every member still gets its duplicate edge."""
+    n = 200
+    vec = np.random.default_rng(1).standard_normal(16).tolist()
+    rows = [(i, vec) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = cosine_near_dup_pairs(
+        df, tau=0.99, nbits=8, dim=16, max_bucket_size=20
+    ).collect()
+    # linear, not quadratic: exactly n-1 representative edges
+    assert len(pairs) == n - 1
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, i) for i in range(1, n)}
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in pairs)
+
+
+def test_near_dup_bucket_cap_preserves_small_bucket_semantics(spark):
+    """Buckets under the cap keep exact all-pairs semantics: with a cap
+    larger than any bucket, results are identical to the uncapped path."""
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal(16)
+    rows = [(i, (base + rng.standard_normal(16) * 0.005).tolist()) for i in range(8)]
+    rows += [(100 + i, rng.standard_normal(16).tolist()) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in cosine_near_dup_pairs(df, tau=0.99, nbits=8, dim=16).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in cosine_near_dup_pairs(
+            df, tau=0.99, nbits=8, dim=16, max_bucket_size=1000
+        ).collect()
+    }
+    assert uncapped == capped and len(uncapped) > 0
