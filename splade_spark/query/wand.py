@@ -144,6 +144,22 @@ def _score_query_in_shard(
     return top_docs, top_scores
 
 
+def prepare_serving(postings: DataFrame, num_shards: int) -> DataFrame:
+    """Shuffle the postings by shard_id ONCE for a query-serving loop.
+
+    Pass the (cached) result to ``retrieve(..., prepartitioned=True)``:
+    the per-query term filter preserves this partitioning, so every
+    subsequent batch runs as a single scan→kernel stage plus the top-k
+    merge — no per-query shuffle. This is the warm-serving analogue of
+    PISA holding its index memory-mapped between queries
+    (efficient_splade_pisa/README.md:47-59). Partition count matches what
+    retrieve() would choose (4x shard oversubscription, floor at the
+    cluster's default parallelism)."""
+    spark = postings.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    return postings.repartition(max(4 * num_shards, par), "shard_id")
+
+
 def retrieve(
     postings: DataFrame,
     query_terms: DataFrame,
@@ -155,6 +171,7 @@ def retrieve(
     bits: int = 8,
     codec: str = "varint",
     merge: str = "window",
+    prepartitioned: bool = False,
 ) -> DataFrame:
     """Top-k BM25 over a block-compressed sharded index.
 
@@ -175,6 +192,10 @@ def retrieve(
     protocol analogue, efficient_splade_pisa/README.md:47-59). Identical
     results by construction: both orders are (score_int desc, doc_id asc)
     over the same shard-local integer scores.
+
+    prepartitioned: postings came from ``prepare_serving`` (already
+    shuffled by shard_id) — skip the per-batch repartition; the term
+    filter preserves the partitioning, so a batch costs one Spark stage.
     """
     check_bits(bits)
     spark = postings.sparkSession
@@ -261,11 +282,15 @@ def retrieve(
     # are small even when the scoring work isn't) — user-specified
     # repartition(N) is exempt. Oversubscribe 4x so hash collisions don't
     # stack multiple heavy shards on one task.
-    if num_shards is None:
-        row = relevant.agg(F.max("shard_id")).collect()[0]
-        num_shards = int(row[0] or 0) + 1
-    par = spark.sparkContext.defaultParallelism
-    local = relevant.repartition(max(4 * num_shards, par), "shard_id").mapInPandas(
+    if prepartitioned:
+        arranged = relevant  # prepare_serving already shuffled by shard_id
+    else:
+        if num_shards is None:
+            row = relevant.agg(F.max("shard_id")).collect()[0]
+            num_shards = int(row[0] or 0) + 1
+        par = spark.sparkContext.defaultParallelism
+        arranged = relevant.repartition(max(4 * num_shards, par), "shard_id")
+    local = arranged.mapInPandas(
         kernel, schema="query_id string, doc_id long, score_int long"
     )
     out_schema = "query_id string, doc_id long, score double, rank int"

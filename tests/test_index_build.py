@@ -201,6 +201,16 @@ def test_driver_merge_equals_window_merge(spark, corpus, tmp_path):
     drv = retrieve(postings, qt, scale, k=15, num_shards=4, merge="driver")
     key = lambda r: (r.query_id, r.rank, r.doc_id, round(r.score, 9))  # noqa: E731
     assert sorted(map(key, win.collect())) == sorted(map(key, drv.collect()))
+    # warm-serving variant: pre-shuffled postings, no per-query shuffle
+    from splade_spark.query.wand import prepare_serving
+
+    serving = prepare_serving(postings, 4).cache()
+    srv = retrieve(
+        serving, qt, scale, k=15, num_shards=4,
+        merge="driver", prepartitioned=True,
+    )
+    assert sorted(map(key, win.collect())) == sorted(map(key, srv.collect()))
+    serving.unpersist()
     # same column names and types (nullability differs: createDataFrame
     # marks driver-built columns nullable)
     assert [(f.name, f.dataType) for f in win.schema] == [
