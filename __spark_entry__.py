@@ -497,6 +497,58 @@ def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warm-serving engine path: postings pre-shuffled by shard_id
+    once (prepare_serving — the term filter preserves the partitioning, so
+    a batch is ONE Spark stage) and the global top-k merged driver-side
+    (merge='driver', ≤ k×num_shards tiny rows). Shares engine_bm25_topk's
+    integer-domain DuckDB oracle verbatim — both merge orders are
+    (score_int desc, doc_id asc) over identical shard-local scores."""
+    import tempfile
+
+    from splade_spark.bm25 import bm25_weights, quantization_scale
+    from splade_spark.index.build import build_index, load_postings
+    from splade_spark.query.wand import prepare_serving, retrieve
+    from splade_spark.stats import corpus_stats
+    from splade_spark.tokenize import term_freqs
+
+    tf = term_freqs(_docs(spark, sf_dir))
+    n, avgdl = corpus_stats(tf)
+    w = bm25_weights(tf, n, avgdl).withColumn("term_id", F.xxhash64("term"))
+    scale = quantization_scale(w)
+    path = tempfile.mkdtemp(prefix="splade_idx_srv_") + "/idx"
+    build_index(w.select("doc_id", "term_id", "weight"), path, scale, num_shards=8)
+    qt = spark.createDataFrame(
+        _query_terms(), "query_id string, term string, qtf int"
+    ).withColumn("term_id", F.xxhash64("term"))
+    serving = prepare_serving(load_postings(spark, path), 8)
+    return retrieve(
+        serving, qt, scale, k=10, num_shards=8,
+        merge="driver", prepartitioned=True,
+    ).select(
+        "query_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_emb_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-guarded near-dup path: buckets over max_bucket_size=30
+    switch to linear star-linking against the bucket's min-id
+    representative (the sf0.01 corpus has 16 buckets sized 16-48 under
+    these planes, so BOTH code paths run). The DuckDB oracle replays the
+    split exactly: all-pairs for buckets ≤ 30, (rep, member) edges
+    otherwise, same exact-cosine verify and tau."""
+    from splade_spark.pipeline.similarity import cosine_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_near_dup_pairs(
+        emb, tau=0.35, nbits=4, dim=64, max_bucket_size=30
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via hyperplane LSH + exact rerank, SQL-oracle-checked:
     the seeded hyperplanes are injected into the DuckDB oracle as DOUBLE[]
@@ -645,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_capped": q_emb_near_dup_capped,
+        "engine_bm25_serving": q_engine_bm25_serving,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -729,7 +783,7 @@ def oracle_sql() -> dict[str, str]:
         )
     lang_union = " UNION ALL ".join(lang_scores)
 
-    return {
+    d = {
         "term_freqs": f"""
             WITH {_TF}
             SELECT tf.doc_id, tf.term, tf.tf, dl.dl AS doc_len
@@ -1245,3 +1299,54 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
     }
+    # warm-serving path: driver-side top-k merge over prepartitioned
+    # postings is result-identical to the window path by construction, so
+    # it shares the integer-domain engine oracle verbatim
+    d["engine_bm25_serving"] = d["engine_bm25_topk"]
+    d["emb_near_dup_capped"] = f"""
+        WITH planes(j, pv) AS (VALUES {nd_planes}),
+        e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        bits AS (
+          SELECT vec_id, j, list_dot_product(v, pv) AS dot
+          FROM e CROSS JOIN planes
+        ),
+        sigs AS (
+          SELECT vec_id,
+            sum(CASE WHEN dot > 0 THEN (1::BIGINT << j)
+                     ELSE 0 END)::BIGINT AS bucket
+          FROM bits GROUP BY 1
+        ),
+        bstats AS (
+          SELECT bucket, count(*) AS c, min(vec_id) AS rep
+          FROM sigs GROUP BY 1
+        ),
+        pairs_small AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sigs a
+          JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          JOIN bstats st ON st.bucket = a.bucket
+          WHERE st.c <= 30
+        ),
+        pairs_big AS (
+          SELECT st.rep AS id_a, g.vec_id AS id_b
+          FROM sigs g JOIN bstats st ON st.bucket = g.bucket
+          WHERE st.c > 30 AND g.vec_id <> st.rep
+        ),
+        pairs AS (
+          SELECT * FROM pairs_small UNION ALL SELECT * FROM pairs_big
+        ),
+        verified AS (
+          SELECT p.id_a, p.id_b,
+            list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v))
+                 * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+          FROM pairs p
+          JOIN e ea ON ea.vec_id = p.id_a
+          JOIN e eb ON eb.vec_id = p.id_b
+        )
+        SELECT DISTINCT id_a, id_b, round(cos, 4) AS cosine
+        FROM verified WHERE cos >= 0.35
+    """
+    return d
