@@ -144,7 +144,9 @@ def _score_query_in_shard(
     return top_docs, top_scores
 
 
-def prepare_serving(postings: DataFrame, num_shards: int) -> DataFrame:
+def prepare_serving(
+    postings: DataFrame, num_shards: int, partitions: int | None = None
+) -> DataFrame:
     """Shuffle the postings by shard_id ONCE for a query-serving loop.
 
     Pass the (cached) result to ``retrieve(..., prepartitioned=True)``:
@@ -152,12 +154,20 @@ def prepare_serving(postings: DataFrame, num_shards: int) -> DataFrame:
     subsequent batch runs as a single scan→kernel stage plus the top-k
     merge — no per-query shuffle. This is the warm-serving analogue of
     PISA holding its index memory-mapped between queries
-    (efficient_splade_pisa/README.md:47-59). Partition count matches what
-    retrieve() would choose (4x shard oversubscription, floor at the
-    cluster's default parallelism)."""
+    (efficient_splade_pisa/README.md:47-59).
+
+    partitions defaults to ONE task wave (max(num_shards, default
+    parallelism)) — interactive latency is task-launch-bound, and the 4x
+    shard oversubscription retrieve() uses for heavy batch scoring
+    (anti-skew: hash collisions stacking shards on one task) triples
+    single-query p50 here (measured 1.08 s vs 0.36 s at sf0.1 / 32
+    cores). For a serving frame that will mostly take LARGE batches,
+    pass partitions=4*num_shards explicitly."""
     spark = postings.sparkSession
     par = spark.sparkContext.defaultParallelism
-    return postings.repartition(max(4 * num_shards, par), "shard_id")
+    if partitions is None:
+        partitions = max(num_shards, par)
+    return postings.repartition(partitions, "shard_id")
 
 
 def retrieve(
