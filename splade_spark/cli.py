@@ -208,10 +208,14 @@ def main(argv: list[str] | None = None) -> int:
         queries = read_collection_tsv(spark, args.queries).withColumnRenamed(
             "doc_id", "query_id"
         )
-        qt = query_term_freqs(queries)
+        qt = query_term_freqs(queries).select("query_id", "term_id", "qtf").toPandas()
         t0 = time.time()
         # num_shards from the meta kills an extra max(shard_id) Spark job
-        # (a full postings scan) per query batch
+        # (a full postings scan) per query batch. Driver-side top-k merge
+        # (one fewer Spark stage) collects k×num_shards rows PER QUERY, so
+        # it is only the right call for interactive-sized batches; a bulk
+        # run file falls back to the distributed window merge.
+        n_q = qt["query_id"].nunique()
         runs = retrieve(
             postings,
             qt,
@@ -221,10 +225,7 @@ def main(argv: list[str] | None = None) -> int:
             num_shards=meta["num_shards"],
             bits=meta.get("bits", 8),
             codec=meta.get("codec", "varint"),
-            # serving path: per-shard top-k is ≤ k×shards tiny rows —
-            # merge on the driver instead of paying a window-exchange
-            # Spark stage per batch
-            merge="driver",
+            merge="driver" if n_q <= 1024 else "window",
         )
         write_runs_parquet(runs, args.out)
         _log(f"query: k={args.k} wall={time.time() - t0:.2f}s → {args.out}")

@@ -210,6 +210,11 @@ def test_driver_merge_equals_window_merge(spark, corpus, tmp_path):
         merge="driver", prepartitioned=True,
     )
     assert sorted(map(key, win.collect())) == sorted(map(key, srv.collect()))
+    # serving defaults to ONE task wave (latency path); explicit partitions
+    # override for batch-heavy serving frames
+    par = spark.sparkContext.defaultParallelism
+    assert serving.rdd.getNumPartitions() == max(4, par)
+    assert prepare_serving(postings, 4, partitions=16).rdd.getNumPartitions() == 16
     serving.unpersist()
     # same column names and types (nullability differs: createDataFrame
     # marks driver-built columns nullable)
