@@ -170,7 +170,7 @@ def _engine_job(
     # the sandbox's single shared local disk caps the *write* leg at the
     # same MB/s regardless of thread count, which on a real cluster scales
     # with executor count instead. The encode input is a parquet table of
-    # the weights replicated 6x with shifted doc_ids (~64M postings),
+    # the weights replicated 4x with shifted doc_ids (~42M postings),
     # written once by the generator session and read+cached identically by
     # every leg: a leg must carry tens of seconds of real work at the
     # narrow width or the fixed per-stage cost (~2s: scheduling, Arrow
@@ -199,11 +199,21 @@ def _engine_job(
     postings = load_postings(spark, path).cache()
     postings.count()
     # warm serving state: one shuffle by shard_id up front; every
-    # single-query call below is then one scan→kernel stage + driver merge
+    # single-query call is then one scan→kernel stage + driver merge.
+    # Built LAZILY on first use — the scaling legs only run batch queries,
+    # and an eager build would add a full postings shuffle per leg and
+    # hold cache memory during the timed batch measurement.
     from splade_spark.query.wand import prepare_serving
 
-    serving = prepare_serving(postings, num_shards).cache()
-    serving.count()
+    serving_state: list = []
+
+    def _serving():
+        if not serving_state:
+            s = prepare_serving(postings, num_shards).cache()
+            s.count()
+            serving_state.append(s)
+        return serving_state[0]
+
     qt = (
         query_term_freqs(queries_df(spark, n_queries))
         .select("query_id", "term_id", "qtf")
@@ -224,6 +234,7 @@ def _engine_job(
         path: prepartitioned postings (no per-query shuffle) + driver-side
         top-k merge (no window-exchange stage) — one Spark stage per
         query."""
+        serving = _serving()  # warm cost excluded: serving state is built once
         out = []
         for qid in qt["query_id"].unique()[:n_single]:
             one = qt[qt["query_id"] == qid]
@@ -503,13 +514,13 @@ def main() -> None:
     # artifact, not a property of the job (BASELINE.md round-2 notes).
     # The scaling corpus must be CPU-bound for tens of seconds per leg or
     # fixed job overhead (~1-2s) swamps the signal — ~10M postings for the
-    # build leg, 3x-replicated (~32M) for the isolated encode leg, and a
-    # 200-query batch for the query stage.
+    # build leg, 4x-replicated (~42M) for the isolated encode leg, and a
+    # 2000-query batch for the query stage.
     n_conv_scale = min(40000, max(10 * n_conv, 1500))
     gen = _mk_spark(cpus, "splade_scale_gen")
     gen.sparkContext.setLogLevel("ERROR")
     transcripts(gen, n_conv_scale).write.mode("overwrite").parquet(tdir + "/scale")
-    # the 6x-replicated weights table for the isolated encode measurement —
+    # the 4x-replicated weights table for the isolated encode measurement —
     # sized so the narrow leg carries ~40s of real work (fixed per-stage
     # cost <5% of the signal)
     from pyspark.sql import functions as F
@@ -611,21 +622,17 @@ def main() -> None:
             ),
         }
 
-    MIN_ROUNDS, MAX_ROUNDS, TARGET = 2, 5, 0.82
+    # FIXED round count, no early stop: stopping as soon as the graded
+    # efficiency crosses a target is optional stopping conditioned on the
+    # pass/fail metric — it would bias the recorded artifact toward
+    # barely-passing (a marginal config keeps resampling for a favorable
+    # tenancy window; a lucky one stops early). Min over a fixed number of
+    # interleaved rounds is tenancy-robust without that bias.
+    ROUNDS = 3
     reps: dict[str, list[dict]] = {"n": [], "4n": []}
-    rounds = 0
-    while True:
-        rounds += 1
+    for _ in range(ROUNDS):
         for label, nexec in [("n", lo), ("4n", hi)]:
             reps[label].append(_scale_leg(label, nexec))
-        effs = _effs(reps)
-        if rounds >= MIN_ROUNDS and (
-            effs["efficiency_encode"] >= TARGET
-            and effs["efficiency_query"] >= TARGET
-        ):
-            break
-        if rounds >= MAX_ROUNDS:
-            break
 
     scaling = {}
     for label, nexec in [("n", lo), ("4n", hi)]:
@@ -652,7 +659,7 @@ def main() -> None:
     # raw efficiencies: measured narrow-vs-wide throughput ratio, no
     # normalization — THESE are the pass/fail numbers for the >=0.8 rule
     scaling.update(_effs(reps))
-    scaling["rounds"] = rounds
+    scaling["rounds"] = ROUNDS
     # calibration: what a perfectly parallel workload measures on this box
     # at the same widths (2 vs 8 active cores) — reported as DIAGNOSTIC
     # context only (the calibration workload is pure numpy, no

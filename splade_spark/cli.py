@@ -212,10 +212,14 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.time()
         # num_shards from the meta kills an extra max(shard_id) Spark job
         # (a full postings scan) per query batch. Driver-side top-k merge
-        # (one fewer Spark stage) collects k×num_shards rows PER QUERY, so
-        # it is only the right call for interactive-sized batches; a bulk
-        # run file falls back to the distributed window merge.
-        n_q = qt["query_id"].nunique()
+        # (one fewer Spark stage) collects up to n_q × k × num_shards rows,
+        # so the cutoff must bound that product, not the query count alone —
+        # 1000 queries × k=100 × 4096 shards would be 410M driver rows. Cap
+        # the collect at ~2M rows (<100 MB of (str, i64, i64) tuples);
+        # anything bigger takes the distributed window merge.
+        driver_ok = (
+            qt["query_id"].nunique() * args.k * meta["num_shards"] <= 2_000_000
+        )
         runs = retrieve(
             postings,
             qt,
@@ -225,7 +229,7 @@ def main(argv: list[str] | None = None) -> int:
             num_shards=meta["num_shards"],
             bits=meta.get("bits", 8),
             codec=meta.get("codec", "varint"),
-            merge="driver" if n_q <= 1024 else "window",
+            merge="driver" if driver_ok else "window",
         )
         write_runs_parquet(runs, args.out)
         _log(f"query: k={args.k} wall={time.time() - t0:.2f}s → {args.out}")

@@ -144,12 +144,20 @@ def encode_for_blocks(dvals: np.ndarray, dcount_cum: np.ndarray) -> list[bytes]:
             np.concatenate(([0], np.cumsum(c)[:-1])), c
         )
         vals = dvals[dcount_cum[sel][rep] + within]
-        bits = ((vals[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.uint8
-        )
         bitbuf = np.zeros(int(base_bits[-1]), dtype=np.uint8)
-        pos = (base_bits[rep] + within * w)[:, None] + np.arange(w)
-        bitbuf[pos.ravel()] = bits.ravel()
+        start_bit = base_bits[rep] + within * w
+        # chunk the (values × width) scatter: the full matrices are
+        # O(class_size × w) transient bytes — ~GB-scale on a multi-million-
+        # delta partition with a dominant wide class, where the per-block
+        # loop this replaced peaked at 128 × w. 256k values × w=30 ≈ 70 MB
+        # per chunk keeps the vectorization win with a bounded footprint.
+        CHUNK_VALS = 1 << 18
+        shifts = np.arange(w, dtype=np.uint64)
+        for s in range(0, len(vals), CHUNK_VALS):
+            vc = vals[s : s + CHUNK_VALS]
+            bits_c = ((vc[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+            pos_c = start_bit[s : s + CHUNK_VALS, None] + np.arange(w)
+            bitbuf[pos_c.ravel()] = bits_c.ravel()
         packed = np.packbits(bitbuf, bitorder="little").tobytes()
         hdr = bytes([w])
         byte_off = base_bits // 8

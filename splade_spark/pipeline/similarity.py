@@ -301,7 +301,11 @@ def cosine_near_dup_pairs(
         stats = sigs.groupBy("bucket").agg(
             F.count("*").alias("_bsize"), F.min(id_col).alias("_rep")
         )
-        e = e.join(F.broadcast(stats), "bucket")
+        # NOT force-broadcast: distinct-bucket count is 2^nbits at best but
+        # approaches n for high-entropy signatures — exactly the at-scale
+        # regime this guard exists for. Let Spark/AQE pick the strategy
+        # (it will broadcast when stats is actually small).
+        e = e.join(stats, "bucket")
         small = e.filter(F.col("_bsize") <= max_bucket_size)
         big = e.filter(F.col("_bsize") > max_bucket_size)
         small_pairs = _bucket_self_join(small, id_col, vec_col)

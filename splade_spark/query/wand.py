@@ -50,7 +50,6 @@ def _score_query_in_shard(
     terms: list[tuple[int, int, np.ndarray, np.ndarray, np.ndarray, list]],
     k: int,
     theta0: int,
-    scale: float,
     prune: bool,
     decoded: dict | None = None,
     bits: int = 8,
@@ -208,6 +207,10 @@ def retrieve(
     filter preserves the partitioning, so a batch costs one Spark stage.
     """
     check_bits(bits)
+    if merge not in ("window", "driver"):
+        # a typo would silently fall through to the window path — results
+        # identical, but the caller's one-stage serving intent ignored
+        raise ValueError(f"merge must be 'window' or 'driver', got {merge!r}")
     spark = postings.sparkSession
     if isinstance(query_terms, pd.DataFrame):
         # query-service path: terms already driver-side, skip the Spark job
@@ -279,7 +282,7 @@ def retrieve(
                     if int(t) in by_term
                 ]
                 docs, scores = _score_query_in_shard(
-                    terms, k, theta0, scale, prune, decoded=shard_cache,
+                    terms, k, theta0, prune, decoded=shard_cache,
                     bits=bits, codec=codec,
                 )
                 out_q.extend([qid] * len(docs))

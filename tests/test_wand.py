@@ -48,13 +48,13 @@ def test_wand_kernel_matches_brute_force(n_terms, k, theta0, rnd):
         q_int = np.rint(np.array(weights) * scale).clip(0, 255).astype(int)
         posting_sets[t] = dict(zip(docs, q_int.tolist()))
 
-    got_d, got_s = _score_query_in_shard(terms, k, theta0, scale, prune=True)
-    exact_d, exact_s = _score_query_in_shard(terms, k, theta0, scale, prune=False)
+    got_d, got_s = _score_query_in_shard(terms, k, theta0, prune=True)
+    exact_d, exact_s = _score_query_in_shard(terms, k, theta0, prune=False)
     expected = _brute(posting_sets, qtfs, k, theta0)
     assert list(zip(got_d.tolist(), got_s.tolist())) == expected
     assert list(zip(exact_d.tolist(), exact_s.tolist())) == expected
 
 
 def test_wand_kernel_empty():
-    d, s = _score_query_in_shard([], 10, 0, 10.0, prune=True)
+    d, s = _score_query_in_shard([], 10, 0, prune=True)
     assert len(d) == 0 and len(s) == 0
