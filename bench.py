@@ -11,11 +11,13 @@ local[$SPARK_GRAFT_CPUS]):
   - oracle_bm25 / dedup / ann / textstats over the driver testdata tables
 
 Scaling evidence (north rule: throughput efficiency >= 0.8 between N and 4N
-executors): the identical build+query job runs on local-cluster[2,2,...] vs
-local-cluster[8,2,...] — 2 vs 8 REAL executor JVM processes, package shipped
---py-files style — on the same stored input; throughput at both widths plus
-the efficiency ratios are reported under "scaling" and mirrored into
-BASELINE.md.
+executors): the identical build+query job runs on local-cluster[2,1,...] vs
+local-cluster[8,1,...] — 2 vs 8 REAL executor JVM processes (one core each),
+package shipped --py-files style — on the same stored input; three
+interleaved rounds SPREAD across the bench's wall clock (so one multi-minute
+tenancy burst cannot cover every sample), per-metric min over rounds;
+throughput at both widths plus the efficiency ratios are reported under
+"scaling" and mirrored into BASELINE.md.
 """
 
 from __future__ import annotations
@@ -313,6 +315,100 @@ def main() -> None:
     tdir = tempfile.mkdtemp(prefix="splade_bench_t_")
     transcripts(spark, n_conv).write.mode("overwrite").parquet(tdir + "/head")
 
+    # --- scaling inputs + leg machinery, generated UP FRONT (untimed) ------
+    # so the three scaling rounds can be SPREAD across the bench's wall
+    # clock: tenancy bursts on this box last minutes, and three
+    # back-to-back rounds can all land inside one burst (observed: the
+    # wide-leg min inflated ~30% while the interleaved narrow legs stayed
+    # flat). Rounds run before the engine phase, between the engine and
+    # suite phases, and at the end — several minutes apart — so one burst
+    # cannot cover every sample of a leg.
+    n_conv_scale = min(40000, max(10 * n_conv, 1500))
+    transcripts(spark, n_conv_scale).write.mode("overwrite").parquet(
+        tdir + "/scale"
+    )
+    # the 4x-replicated weights table for the isolated encode measurement —
+    # sized so the narrow leg carries ~40s of real work (fixed per-stage
+    # cost <5% of the signal)
+    from pyspark.sql import functions as F
+    from splade_spark.bm25 import bm25_weights, quantization_scale
+    from splade_spark.documents import build_documents
+    from splade_spark.stats import corpus_stats
+    from splade_spark.tokenize import term_freqs as _tfq
+
+    _docs = build_documents(spark.read.parquet(tdir + "/scale"))
+    _tf = _tfq(_docs).cache()
+    _n, _avg = corpus_stats(_tf)
+    _w = bm25_weights(_tf, _n, _avg).select("doc_id", "term_id", "weight")
+    _big = _w
+    for i in range(1, 4):
+        _big = _big.unionByName(
+            _w.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    _big.write.mode("overwrite").parquet(tdir + "/scale_w4")
+    _tf.unpersist()
+
+    import splade_spark as _pkg
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+    pyzip = shutil.make_archive(
+        os.path.join(tdir, "splade_spark_pkg"), "zip",
+        root_dir=pkg_root, base_dir="splade_spark",
+    )
+    # 2 vs 8 executors (ONE core each): BOTH legs pay cross-process shuffle
+    # fetch — with a single-executor N leg, its process-local shuffle is an
+    # advantage no cluster node gets, which under-reports efficiency. One
+    # core per executor (round-3 change, measured): the 4v16-core footprint
+    # self-saturated this box's memory bus — the pure-numpy calibration
+    # gives ~0.82 at 4→16 workers but ~0.94 at 2→8 — and a 16-core leg
+    # absorbs far more of the box's background tenancy. 2v8 cores keeps the
+    # executor-count ratio the north rule names while measuring the job,
+    # not the machine's bandwidth wall.
+    lo, hi, cores_per = 2, 8, 1
+    N_SCALE_QUERIES = 2000
+
+    def _scale_leg(label: str, nexec: int) -> dict:
+        load0 = os.getloadavg()[0]
+        s = _mk_cluster(nexec, cores_per, f"splade_scale_{label}", pyzip)
+        s.sparkContext.setLogLevel("ERROR")
+        s.sparkContext.addPyFile(pyzip)
+        job = _engine_job(
+            s, tdir + "/scale", num_shards, k=100,
+            n_queries=N_SCALE_QUERIES, encode_input=tdir + "/scale_w4",
+        )
+        from splade_spark.fixtures import queries_df as _qdf2
+        from splade_spark.tokenize import query_term_freqs as _qtf2
+
+        warm_qt = (
+            _qtf2(_qdf2(s, 100)).select("query_id", "term_id", "qtf").toPandas()
+        )
+        job["query_batch"](warm_qt)  # warm (plans, Arrow workers)
+        q0 = time.time()
+        job["query_once"]()
+        qsec = time.time() - q0
+        s.stop()
+        return {
+            "postings": job["postings"],
+            "build_sec": job["build_sec"],
+            "pipeline_sec": job["pipeline_sec"],
+            "encode_sec": job["encode_sec"],
+            "encode_postings": job["encode_postings"],
+            "query_batch_sec": qsec,
+            "loadavg_at_start": round(load0, 2),
+        }
+
+    SCALE_ROUNDS = 3
+    reps: dict[str, list[dict]] = {"n": [], "4n": []}
+
+    def _run_scale_round() -> None:
+        for label, nexec in [("n", lo), ("4n", hi)]:
+            reps[label].append(_scale_leg(label, nexec))
+
+    spark.stop()
+    _run_scale_round()  # scaling round 1 of 3
+    spark = _mk_spark(cpus, "splade_bench_a")
+    spark.sparkContext.setLogLevel("ERROR")
+
     # --- engine: build + query at full parallelism -------------------------
     job = _engine_job(spark, tdir + "/head", num_shards)
     timings["index_build"] = round(job["build_sec"], 3)
@@ -361,6 +457,11 @@ def main() -> None:
         3,
     )
     extra["batch_scaling"] = batch_scaling
+
+    spark.stop()
+    _run_scale_round()  # scaling round 2 of 3
+    spark = _mk_spark(cpus, "splade_bench_b")
+    spark.sparkContext.setLogLevel("ERROR")
 
     # --- segment merge throughput -------------------------------------------
     # two docID-disjoint half-corpus segments folded into one index; the
@@ -502,104 +603,12 @@ def main() -> None:
 
     spark.stop()
 
-    # --- scaling: N vs 4N EXECUTORS, identical job, same input --------------
-    # The north rule's criterion is throughput efficiency >= 0.8 between N
-    # and 4N *executors*. local-cluster[N,2,mem] launches N real executor
-    # JVM processes (the closest a single box gets to a cluster), with the
-    # package shipped --py-files style. Legs: 2 executors vs 8 executors
-    # (2 cores each) = 4-16 of the box's 32 cores, leaving headroom for
-    # the background tenancy this box carries. Measuring with local[K]
-    # *threads* instead under-reports by ~2x: all K tasks' sort and
-    # row->Arrow conversion contend in one driver JVM heap — a local-mode
-    # artifact, not a property of the job (BASELINE.md round-2 notes).
-    # The scaling corpus must be CPU-bound for tens of seconds per leg or
-    # fixed job overhead (~1-2s) swamps the signal — ~10M postings for the
-    # build leg, 4x-replicated (~42M) for the isolated encode leg, and a
-    # 2000-query batch for the query stage.
-    n_conv_scale = min(40000, max(10 * n_conv, 1500))
-    gen = _mk_spark(cpus, "splade_scale_gen")
-    gen.sparkContext.setLogLevel("ERROR")
-    transcripts(gen, n_conv_scale).write.mode("overwrite").parquet(tdir + "/scale")
-    # the 4x-replicated weights table for the isolated encode measurement —
-    # sized so the narrow leg carries ~40s of real work (fixed per-stage
-    # cost <5% of the signal)
-    from pyspark.sql import functions as F
-    from splade_spark.bm25 import bm25_weights, quantization_scale
-    from splade_spark.documents import build_documents
-    from splade_spark.stats import corpus_stats
-    from splade_spark.tokenize import term_freqs as _tfq
+    _run_scale_round()  # scaling round 3 of 3
 
-    _docs = build_documents(gen.read.parquet(tdir + "/scale"))
-    _tf = _tfq(_docs).cache()
-    _n, _avg = corpus_stats(_tf)
-    _w = bm25_weights(_tf, _n, _avg).select("doc_id", "term_id", "weight")
-    _big = _w
-    for i in range(1, 4):
-        _big = _big.unionByName(
-            _w.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
-        )
-    _big.write.mode("overwrite").parquet(tdir + "/scale_w4")
-    gen.stop()
-
-    import splade_spark as _pkg
-
-    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
-    pyzip = shutil.make_archive(
-        os.path.join(tdir, "splade_spark_pkg"), "zip",
-        root_dir=pkg_root, base_dir="splade_spark",
-    )
-    # 2 vs 8 executors (ONE core each): BOTH legs pay cross-process shuffle
-    # fetch — with a single-executor N leg, its process-local shuffle is an
-    # advantage no cluster node gets, which under-reports efficiency. One
-    # core per executor (round-3 change, measured): the 4v16-core footprint
-    # self-saturated this box's memory bus — the pure-numpy calibration
-    # gives ~0.82 at 4→16 workers but ~0.94 at 2→8 — and a 16-core leg
-    # absorbs far more of the box's background tenancy. 2v8 cores keeps the
-    # executor-count ratio the north rule names while measuring the job,
-    # not the machine's bandwidth wall.
-    lo, hi, cores_per = 2, 8, 1
-
-    N_SCALE_QUERIES = 2000
-
-    def _scale_leg(label: str, nexec: int) -> dict:
-        load0 = os.getloadavg()[0]
-        s = _mk_cluster(nexec, cores_per, f"splade_scale_{label}", pyzip)
-        s.sparkContext.setLogLevel("ERROR")
-        s.sparkContext.addPyFile(pyzip)
-        job = _engine_job(
-            s, tdir + "/scale", num_shards, k=100,
-            n_queries=N_SCALE_QUERIES, encode_input=tdir + "/scale_w4",
-        )
-        from splade_spark.fixtures import queries_df as _qdf2
-        from splade_spark.tokenize import query_term_freqs as _qtf2
-
-        warm_qt = (
-            _qtf2(_qdf2(s, 100)).select("query_id", "term_id", "qtf").toPandas()
-        )
-        job["query_batch"](warm_qt)  # warm (plans, Arrow workers)
-        q0 = time.time()
-        job["query_once"]()
-        qsec = time.time() - q0
-        s.stop()
-        return {
-            "postings": job["postings"],
-            "build_sec": job["build_sec"],
-            "pipeline_sec": job["pipeline_sec"],
-            "encode_sec": job["encode_sec"],
-            "encode_postings": job["encode_postings"],
-            "query_batch_sec": qsec,
-            "loadavg_at_start": round(load0, 2),
-        }
-
-    # the box carries other tenants' bursty load (idle loadavg 0-10): a
-    # single-shot leg can be 2-3x off. Interleave the widths and take the
-    # per-metric min over interleaved rounds — bursts last minutes, so at
-    # least one sample of each leg usually lands in a quieter window, and
-    # min is the right estimator for "what the job costs when the machine
-    # isn't busy elsewhere". Rounds are ADAPTIVE: at least 2, and more (to
-    # 5) while the min-based encode/query efficiencies sit below the 0.8
-    # target + margin — the recorded artifact is the graded one, so it
-    # gets the same robustness the reproduction runs get.
+    # --- scaling result: N vs 4N executors, min over 3 SPREAD rounds ---
+    # (legs and round placement defined/explained at the top of main();
+    # min over interleaved rounds is the estimator for what the job
+    # costs when the machine isn't busy elsewhere)
     def _mins(rep_list: list[dict]) -> dict:
         return {
             k: min(r[k] for r in rep_list)
@@ -621,18 +630,6 @@ def main() -> None:
                 bn["query_batch_sec"] / (b4["query_batch_sec"] * ratio), 3
             ),
         }
-
-    # FIXED round count, no early stop: stopping as soon as the graded
-    # efficiency crosses a target is optional stopping conditioned on the
-    # pass/fail metric — it would bias the recorded artifact toward
-    # barely-passing (a marginal config keeps resampling for a favorable
-    # tenancy window; a lucky one stops early). Min over a fixed number of
-    # interleaved rounds is tenancy-robust without that bias.
-    ROUNDS = 3
-    reps: dict[str, list[dict]] = {"n": [], "4n": []}
-    for _ in range(ROUNDS):
-        for label, nexec in [("n", lo), ("4n", hi)]:
-            reps[label].append(_scale_leg(label, nexec))
 
     scaling = {}
     for label, nexec in [("n", lo), ("4n", hi)]:
@@ -659,7 +656,7 @@ def main() -> None:
     # raw efficiencies: measured narrow-vs-wide throughput ratio, no
     # normalization — THESE are the pass/fail numbers for the >=0.8 rule
     scaling.update(_effs(reps))
-    scaling["rounds"] = ROUNDS
+    scaling["rounds"] = SCALE_ROUNDS
     # calibration: what a perfectly parallel workload measures on this box
     # at the same widths (2 vs 8 active cores) — reported as DIAGNOSTIC
     # context only (the calibration workload is pure numpy, no
