@@ -331,7 +331,7 @@ def main() -> None:
     # sized so the narrow leg carries ~40s of real work (fixed per-stage
     # cost <5% of the signal)
     from pyspark.sql import functions as F
-    from splade_spark.bm25 import bm25_weights, quantization_scale
+    from splade_spark.bm25 import bm25_weights
     from splade_spark.documents import build_documents
     from splade_spark.stats import corpus_stats
     from splade_spark.tokenize import term_freqs as _tfq
