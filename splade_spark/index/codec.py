@@ -239,6 +239,7 @@ def encode_groups(
     block_size: int = BLOCK_SIZE,
     bits: int = 8,
     codec: str = "varint",
+    prequantized: bool = False,
 ) -> dict[str, list]:
     """Encode MANY (shard, term) posting groups in one vectorized pass.
 
@@ -267,7 +268,14 @@ def encode_groups(
             )
         }
     doc = np.asarray(doc, dtype=np.int64)
-    q = quantize_weights(np.asarray(weight), scale, bits)
+    if prequantized:
+        # weights arrived as integers already rint'ed+clipped JVM-side
+        # (build_postings prequantize path) — same value domain as
+        # quantize_weights, asserted byte-identical in test_index_build
+        check_bits(bits)
+        q = np.asarray(weight).astype(np.uint8 if bits <= 8 else np.uint16)
+    else:
+        q = quantize_weights(np.asarray(weight), scale, bits)
 
     new_grp = np.empty(n, dtype=bool)
     new_grp[0] = True

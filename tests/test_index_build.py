@@ -39,6 +39,22 @@ def test_local_sort_equals_jvm_sort(spark, corpus):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_prequantize_equals_float_path(spark, corpus):
+    """JVM-side bround-quantize-before-shuffle (default) must be
+    byte-identical to shuffling the float and quantizing with np.rint in
+    the kernel — F.bround and np.rint are both HALF_EVEN over the same
+    float64 product, so every block (doc_bytes AND w_bytes) matches."""
+    from splade_spark.index.build import build_postings
+
+    _, w, scale = corpus
+    a = build_postings(w, scale, num_shards=8, prequantize=True)
+    b = build_postings(w, scale, num_shards=8, prequantize=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # and on the streaming (JVM-sort) encoder too
+    c = build_postings(w, scale, num_shards=8, local_sort=False, prequantize=True)
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+
+
 def test_resume_repairs_missing_meta(spark, corpus, tmp_path):
     """A build killed between the last ledger write and the meta write
     leaves an index the query path can't open; re-running with resume=True
