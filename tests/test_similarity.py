@@ -112,6 +112,21 @@ def test_near_dup_bucket_cap_degenerate_corpus(spark):
     assert all(abs(r.cosine - 1.0) < 1e-9 for r in pairs)
 
 
+def test_harness_capped_entry_exercises_both_branches(spark):
+    """The emb_near_dup_capped harness query claims BOTH code paths run at
+    sf0.01 (buckets straddle max_bucket_size=30 under its exact params).
+    Pin that claim: if a fixture regeneration ever collapses the bucket
+    distribution to one side, the oracle would still match (both sides
+    take the same branch) but the harness entry would silently stop
+    covering the split — fail here instead."""
+    emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    sizes = (
+        hyperplane_signatures(emb01, nbits=4, dim=64)
+        .groupBy("bucket").count().select("count").toPandas()["count"]
+    )
+    assert (sizes <= 30).any() and (sizes > 30).any()
+
+
 def test_near_dup_bucket_cap_preserves_small_bucket_semantics(spark):
     """Buckets under the cap keep exact all-pairs semantics: with a cap
     larger than any bucket, results are identical to the uncapped path."""
