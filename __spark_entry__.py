@@ -533,6 +533,148 @@ def q_engine_bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tiered-merge parity: the corpus splits into two
+    docID-contiguous segments, each built into its own sharded index with
+    the SAME global stats + quantization scale, folded on disk by the
+    log-structured streaming re-encode merge (index/merge.py), then queried
+    through the compressed block-max-WAND kernel. Merging is
+    result-preserving by construction, so this shares engine_bm25_topk's
+    integer-domain DuckDB oracle verbatim — a green hash here proves the
+    merge path (decode → concat → re-encode → query) end to end against an
+    independent engine."""
+    import os
+    import tempfile
+
+    from splade_spark.bm25 import bm25_weights, quantization_scale
+    from splade_spark.index.build import build_index, load_postings
+    from splade_spark.index.merge import merge_indexes
+    from splade_spark.query.wand import retrieve
+    from splade_spark.stats import corpus_stats
+    from splade_spark.tokenize import term_freqs
+
+    tf = term_freqs(_docs(spark, sf_dir))
+    n, avgdl = corpus_stats(tf)
+    w = bm25_weights(tf, n, avgdl).withColumn("term_id", F.xxhash64("term"))
+    scale = quantization_scale(w)
+    mm = w.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    thr = (mm["lo"] + mm["hi"]) // 2  # contiguous ranges — merge rejects overlap
+    root = tempfile.mkdtemp(prefix="splade_mrg_")
+    pa, pb, pm = (os.path.join(root, x) for x in ("segA", "segB", "merged"))
+    wsel = w.select("doc_id", "term_id", "weight")
+    build_index(wsel.filter(F.col("doc_id") <= thr), pa, scale, num_shards=8)
+    build_index(wsel.filter(F.col("doc_id") > thr), pb, scale, num_shards=8)
+    merge_indexes(spark, [pa, pb], pm)
+    qt = spark.createDataFrame(
+        _query_terms(), "query_id string, term string, qtf int"
+    ).withColumn("term_id", F.xxhash64("term"))
+    return retrieve(
+        load_postings(spark, pm), qt, scale, k=10, num_shards=8
+    ).select(
+        "query_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_engine_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 incremental path end to end, SQL-oracle-checked: a base
+    index is built over the docID-lower half with its own stats, the upper
+    half lands as files and streams through the AvailableNow incremental
+    indexer (readStream → foreachBatch → posting segment, frozen base df/
+    N/avgdl per the segment-build policy, doc ids allocated above the
+    persisted watermark), and top-k runs over the base ∪ segment union.
+
+    Oracle-checkable because everything is deterministic: internal ids
+    order exactly like original doc_ids (base = lower contiguous range in
+    conv_id order, segment ids above the watermark in conv_id order), so
+    the (score desc, internal id asc) tie-break equals (score desc,
+    original doc_id asc), and segment weights use base df (0 for unseen
+    terms) with impacts clipped at 255 under the FROZEN base scale — all
+    replayed in DuckDB."""
+    import os
+    import tempfile
+
+    from splade_spark.bm25 import bm25_weights, quantization_scale
+    from splade_spark.documents import build_documents
+    from splade_spark.index.build import build_index
+    from splade_spark.query.wand import retrieve
+    from splade_spark.stats import corpus_stats
+    from splade_spark.streaming.incremental import (
+        FrozenStats,
+        load_all_postings,
+        set_doc_watermark,
+        start_incremental_indexer,
+    )
+    from splade_spark.tokenize import term_freqs
+
+    docs = _docs(spark, sf_dir)
+    mm = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    thr = (mm["lo"] + mm["hi"]) // 2
+    # transcripts shape: one turn per conversation; zero-padded conv_id so
+    # lexicographic conv order == numeric doc_id order
+    tr = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("doc_id").alias("_orig"),
+    )
+    base_tr = tr.filter(F.col("_orig") <= thr).drop("_orig")
+    upd_tr = tr.filter(F.col("_orig") > thr).drop("_orig")
+
+    base_docs = build_documents(base_tr)
+    base_tf = term_freqs(base_docs).cache()
+    n_base, avgdl_base = corpus_stats(base_tf)
+    base_w = bm25_weights(base_tf, n_base, avgdl_base)
+    scale = quantization_scale(base_w)
+
+    root = tempfile.mkdtemp(prefix="splade_incr_")
+    base_idx = os.path.join(root, "base_idx")
+    build_index(
+        base_w.select("doc_id", "term_id", "weight"), base_idx, scale, num_shards=8
+    )
+    df_path = os.path.join(root, "base_df")
+    base_tf.groupBy("term_id").agg(F.count("*").alias("df")).write.parquet(df_path)
+    base_dm = os.path.join(root, "docmap_base")
+    base_docs.select("doc_id", "conv_id").write.parquet(base_dm)
+    n_base_docs = base_docs.count()
+    base_tf.unpersist()
+
+    landing = os.path.join(root, "landing")
+    upd_tr.coalesce(1).write.parquet(landing)  # one file → one epoch
+    seg_root = os.path.join(root, "segs")
+    set_doc_watermark(seg_root, n_base_docs)
+    stream = start_incremental_indexer(
+        spark,
+        landing,
+        seg_root,
+        FrozenStats(n_base, avgdl_base, scale, df_path),
+        num_shards=8,
+    )
+    stream.awaitTermination(300)
+
+    postings = load_all_postings(spark, seg_root, base_index=base_idx)
+    qt = spark.createDataFrame(
+        _query_terms(), "query_id string, term string, qtf int"
+    ).withColumn("term_id", F.xxhash64("term"))
+    res = retrieve(postings, qt, scale, k=10, num_shards=8)
+    from splade_spark.streaming.incremental import list_segments
+
+    dm = spark.read.parquet(
+        base_dm, *[s + "_docmap" for s in list_segments(seg_root)]
+    ).select("doc_id", "conv_id")
+    return res.join(dm, "doc_id").select(
+        "query_id",
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_emb_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-guarded near-dup path: buckets over max_bucket_size=30
     switch to linear star-linking against the bucket's min-id
@@ -699,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_capped": q_emb_near_dup_capped,
         "engine_bm25_serving": q_engine_bm25_serving,
+        "engine_merged_topk": q_engine_merged_topk,
+        "engine_incremental_topk": q_engine_incremental_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1303,6 +1447,60 @@ def oracle_sql() -> dict[str, str]:
     # postings is result-identical to the window path by construction, so
     # it shares the integer-domain engine oracle verbatim
     d["engine_bm25_serving"] = d["engine_bm25_topk"]
+    # merging docID-disjoint segments is result-preserving (requantization
+    # round-trips exactly), so the merged-index path shares it too — the
+    # merge re-encode is what a green hash here additionally proves
+    d["engine_merged_topk"] = d["engine_bm25_topk"]
+    # incremental path: base = docID-lower half with its own stats; the
+    # streamed upper half scores with FROZEN base df (0 for unseen terms) /
+    # N / avgdl and base quantization scale, impacts clipped at 255.
+    # Internal ids order like original doc_ids (see q_engine_incremental_
+    # topk docstring) so the tie-break matches on original ids.
+    d["engine_incremental_topk"] = f"""
+        WITH {_TF},
+        thr AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS t FROM documents),
+        bstats AS (
+          SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+          FROM dl WHERE doc_id <= (SELECT t FROM thr)
+        ),
+        bdfs AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf
+          WHERE doc_id <= (SELECT t FROM thr) GROUP BY 1
+        ),
+        w AS (
+          SELECT tf.doc_id, tf.term,
+            ln(1 + (n - coalesce(df, 0) + 0.5)/(coalesce(df, 0) + 0.5))
+              * (tf::DOUBLE * (1.2 + 1))
+              / (tf::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl::DOUBLE / avgdl))
+              AS weight
+          FROM tf JOIN dl USING (doc_id)
+          LEFT JOIN bdfs USING (term) CROSS JOIN bstats
+        ),
+        sc AS (
+          SELECT 255.0 / max(weight) AS scale FROM w
+          WHERE doc_id <= (SELECT t FROM thr)
+        ),
+        qz AS (
+          SELECT doc_id, term,
+            least(CAST(round_even(weight * (SELECT scale FROM sc), 0)
+                       AS BIGINT), 255) AS qw
+          FROM w
+        ),
+        s AS (
+          SELECT query_id, doc_id, sum(qtf * qw) AS si
+          FROM qz JOIN {_qt_values()} USING (term)
+          GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT query_id, doc_id, si,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY si DESC, doc_id) AS rank
+          FROM s WHERE si > 0
+        )
+        SELECT query_id, doc_id,
+          round(si / (SELECT scale FROM sc), 6) AS score, rank
+        FROM r WHERE rank <= 10
+    """
     d["emb_near_dup_capped"] = f"""
         WITH planes(j, pv) AS (VALUES {nd_planes}),
         e AS (

@@ -248,7 +248,14 @@ def retrieve(
             return
         pdf_all = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         out_q, out_d, out_s = [], [], []
-        pdf_all = pdf_all.sort_values(["shard_id", "term_id", "block_id"])
+        # first_doc, NOT block_id: a base-index ∪ segment union (streaming/
+        # incremental.py) carries several docID-disjoint block runs per
+        # (shard, term), each with its own block_id 0..n — block_id order
+        # interleaves them, breaking the sorted-firsts invariant the
+        # interval→block searchsorted below relies on. first_doc gives the
+        # same order for a single index and the globally docID-sorted order
+        # for any disjoint-segment union.
+        pdf_all = pdf_all.sort_values(["shard_id", "term_id", "first_doc"])
         shards = pdf_all["shard_id"].to_numpy()
         t_all = pdf_all["term_id"].to_numpy(np.int64)
         fd_all = pdf_all["first_doc"].to_numpy(np.int64)

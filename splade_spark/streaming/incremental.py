@@ -84,6 +84,13 @@ def _set_next_doc_id(base_dir: str, v: int) -> None:
     os.replace(tmp, _counter_path(base_dir))
 
 
+def set_doc_watermark(base_dir: str, next_doc_id: int) -> None:
+    """Seed the doc-id watermark above an existing base index's id range,
+    so streamed segments allocate ids disjoint from the base build."""
+    os.makedirs(base_dir, exist_ok=True)
+    _set_next_doc_id(base_dir, next_doc_id)
+
+
 def build_segment_from_batch(
     batch: DataFrame,
     base_dir: str,

@@ -128,3 +128,46 @@ def test_merge_killed_before_meta_is_rerunnable(spark, corpus, tmp_path):
     assert meta["num_shards"] == 4 and meta["scale"] == scale
     after = sorted(map(tuple, load_postings(spark, pm).collect()))
     assert before == after
+
+
+def test_segment_union_query_order_invariant(spark, corpus, tmp_path):
+    """Querying a base ∪ segment union (the pre-merge incremental serving
+    path) must not depend on the physical order of the unioned block rows:
+    each (shard, term) carries one block run PER SEGMENT, each run's
+    block_id restarting at 0, so the kernel must arrange blocks by
+    first_doc, not block_id. Regression: with segment-B rows physically
+    before segment-A rows in one pre-partitioned partition, a block_id
+    sort interleaved the runs, broke the sorted-firsts invariant behind
+    the interval→block searchsorted, and silently dropped segment-A
+    postings from the scores."""
+    import pandas as pd
+
+    tf, w, scale = corpus
+    pa, pb, pf = (str(tmp_path / x) for x in ["ua", "ub", "ufull"])
+    build_index(w.filter(F.col("doc_id") < 50), pa, scale, num_shards=2)
+    build_index(w.filter(F.col("doc_id") >= 50), pb, scale, num_shards=2)
+    build_index(w, pf, scale, num_shards=2)
+    qt = query_term_freqs(queries_df(spark)).cache()
+    expected = sorted(
+        map(
+            tuple,
+            retrieve(
+                load_postings(spark, pf), qt, scale, k=20, num_shards=2
+            ).collect(),
+        )
+    )
+    schema = load_postings(spark, pa).schema
+    adversarial = pd.concat(
+        [load_postings(spark, pb).toPandas(), load_postings(spark, pa).toPandas()],
+        ignore_index=True,
+    )
+    un = spark.createDataFrame(adversarial, schema=schema).coalesce(1)
+    got = sorted(
+        map(
+            tuple,
+            retrieve(
+                un, qt, scale, k=20, num_shards=2, prepartitioned=True
+            ).collect(),
+        )
+    )
+    assert got == expected
