@@ -314,10 +314,13 @@ def cosine_near_dup_pairs(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
         )
+        # reps is one row (with a full embedding) PER oversized bucket —
+        # usually tiny, but a pathological corpus can have ~n/cap of them,
+        # so no force-broadcast here either; AQE broadcasts when it fits
         big_pairs = (
             big.filter(F.col(id_col) != F.col("_rep"))
             .select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-            .join(F.broadcast(reps), "bucket")
+            .join(reps, "bucket")
         )
         cand = small_pairs.unionByName(big_pairs.select(small_pairs.columns))
     else:
