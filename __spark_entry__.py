@@ -463,6 +463,41 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_query_terms(spark: SparkSession) -> DataFrame:
+    """Fixture query terms with the engine's xxhash64 term ids."""
+    return spark.createDataFrame(
+        _query_terms(), "query_id string, term string, qtf int"
+    ).withColumn("term_id", F.xxhash64("term"))
+
+
+def _engine_fixture(spark: SparkSession, sf_dir: str):
+    """Shared corpus prep for the engine harness entries: BM25 weights with
+    xxhash64 term ids, the frozen quantization scale, and the fixture query
+    terms. The engine entries that share the integer-domain oracle all go
+    through here — a change to the term-id derivation or scale policy can
+    then never desynchronize one entry from the common oracle."""
+    from splade_spark.bm25 import bm25_weights, quantization_scale
+    from splade_spark.stats import corpus_stats
+    from splade_spark.tokenize import term_freqs
+
+    tf = term_freqs(_docs(spark, sf_dir))
+    n, avgdl = corpus_stats(tf)
+    w = bm25_weights(tf, n, avgdl).withColumn("term_id", F.xxhash64("term"))
+    scale = quantization_scale(w)
+    return w, scale, _engine_query_terms(spark)
+
+
+def _engine_project(res: DataFrame) -> DataFrame:
+    """The engine entries' common output shape (rounded score, long rank) —
+    must stay column-identical to the shared DuckDB oracle."""
+    return res.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full compressed-index + block-max-WAND engine path.
 
@@ -472,28 +507,14 @@ def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     all HALF_EVEN), integer sum, divide by scale at the end."""
     import tempfile
 
-    from splade_spark.bm25 import bm25_weights, quantization_scale
     from splade_spark.index.build import build_index, load_postings
     from splade_spark.query.wand import retrieve
-    from splade_spark.stats import corpus_stats
-    from splade_spark.tokenize import term_freqs
 
-    tf = term_freqs(_docs(spark, sf_dir))
-    n, avgdl = corpus_stats(tf)
-    w = bm25_weights(tf, n, avgdl).withColumn("term_id", F.xxhash64("term"))
-    scale = quantization_scale(w)
+    w, scale, qt = _engine_fixture(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="splade_idx_") + "/idx"
     build_index(w.select("doc_id", "term_id", "weight"), path, scale, num_shards=8)
-    qt = spark.createDataFrame(
-        _query_terms(), "query_id string, term string, qtf int"
-    ).withColumn("term_id", F.xxhash64("term"))
-    return retrieve(
-        load_postings(spark, path), qt, scale, k=10, num_shards=8
-    ).select(
-        "query_id",
-        "doc_id",
-        F.round("score", 6).alias("score"),
-        F.col("rank").cast("long").alias("rank"),
+    return _engine_project(
+        retrieve(load_postings(spark, path), qt, scale, k=10, num_shards=8)
     )
 
 
@@ -506,30 +527,18 @@ def q_engine_bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score_int desc, doc_id asc) over identical shard-local scores."""
     import tempfile
 
-    from splade_spark.bm25 import bm25_weights, quantization_scale
     from splade_spark.index.build import build_index, load_postings
     from splade_spark.query.wand import prepare_serving, retrieve
-    from splade_spark.stats import corpus_stats
-    from splade_spark.tokenize import term_freqs
 
-    tf = term_freqs(_docs(spark, sf_dir))
-    n, avgdl = corpus_stats(tf)
-    w = bm25_weights(tf, n, avgdl).withColumn("term_id", F.xxhash64("term"))
-    scale = quantization_scale(w)
+    w, scale, qt = _engine_fixture(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="splade_idx_srv_") + "/idx"
     build_index(w.select("doc_id", "term_id", "weight"), path, scale, num_shards=8)
-    qt = spark.createDataFrame(
-        _query_terms(), "query_id string, term string, qtf int"
-    ).withColumn("term_id", F.xxhash64("term"))
     serving = prepare_serving(load_postings(spark, path), 8)
-    return retrieve(
-        serving, qt, scale, k=10, num_shards=8,
-        merge="driver", prepartitioned=True,
-    ).select(
-        "query_id",
-        "doc_id",
-        F.round("score", 6).alias("score"),
-        F.col("rank").cast("long").alias("rank"),
+    return _engine_project(
+        retrieve(
+            serving, qt, scale, k=10, num_shards=8,
+            merge="driver", prepartitioned=True,
+        )
     )
 
 
@@ -546,17 +555,11 @@ def q_engine_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from splade_spark.bm25 import bm25_weights, quantization_scale
     from splade_spark.index.build import build_index, load_postings
     from splade_spark.index.merge import merge_indexes
     from splade_spark.query.wand import retrieve
-    from splade_spark.stats import corpus_stats
-    from splade_spark.tokenize import term_freqs
 
-    tf = term_freqs(_docs(spark, sf_dir))
-    n, avgdl = corpus_stats(tf)
-    w = bm25_weights(tf, n, avgdl).withColumn("term_id", F.xxhash64("term"))
-    scale = quantization_scale(w)
+    w, scale, qt = _engine_fixture(spark, sf_dir)
     mm = w.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
     thr = (mm["lo"] + mm["hi"]) // 2  # contiguous ranges — merge rejects overlap
     root = tempfile.mkdtemp(prefix="splade_mrg_")
@@ -565,16 +568,8 @@ def q_engine_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_index(wsel.filter(F.col("doc_id") <= thr), pa, scale, num_shards=8)
     build_index(wsel.filter(F.col("doc_id") > thr), pb, scale, num_shards=8)
     merge_indexes(spark, [pa, pb], pm)
-    qt = spark.createDataFrame(
-        _query_terms(), "query_id string, term string, qtf int"
-    ).withColumn("term_id", F.xxhash64("term"))
-    return retrieve(
-        load_postings(spark, pm), qt, scale, k=10, num_shards=8
-    ).select(
-        "query_id",
-        "doc_id",
-        F.round("score", 6).alias("score"),
-        F.col("rank").cast("long").alias("rank"),
+    return _engine_project(
+        retrieve(load_postings(spark, pm), qt, scale, k=10, num_shards=8)
     )
 
 
@@ -655,12 +650,14 @@ def q_engine_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FrozenStats(n_base, avgdl_base, scale, df_path),
         num_shards=8,
     )
-    stream.awaitTermination(300)
+    if not stream.awaitTermination(300):
+        # proceeding with a partial/empty segment set would surface as a
+        # baffling oracle mismatch instead of a clear timeout
+        stream.stop()
+        raise RuntimeError("incremental indexer did not finish within 300 s")
 
     postings = load_all_postings(spark, seg_root, base_index=base_idx)
-    qt = spark.createDataFrame(
-        _query_terms(), "query_id string, term string, qtf int"
-    ).withColumn("term_id", F.xxhash64("term"))
+    qt = _engine_query_terms(spark)
     res = retrieve(postings, qt, scale, k=10, num_shards=8)
     from splade_spark.streaming.incremental import list_segments
 

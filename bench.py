@@ -169,22 +169,27 @@ def _run_sub(mode: str, args: dict) -> dict:
     import subprocess
 
     here = os.path.abspath(__file__)
-    ap = tempfile.mktemp(prefix="bench_sub_", suffix=".json")
+    fd, ap = tempfile.mkstemp(prefix="bench_sub_", suffix=".json")
+    os.close(fd)
     op = ap + ".out"
-    with open(ap, "w") as fh:
-        json.dump(args, fh)
-    r = subprocess.run(
-        [sys.executable, here, mode, ap, op],
-        cwd=os.path.dirname(here),
-        stdout=sys.stderr,  # keep the ONE-json-line stdout contract clean
-    )
-    if r.returncode != 0:
-        raise RuntimeError(f"bench subprocess {mode} failed rc={r.returncode}")
-    with open(op) as fh:
-        out = json.load(fh)
-    os.unlink(ap)
-    os.unlink(op)
-    return out
+    try:
+        with open(ap, "w") as fh:
+            json.dump(args, fh)
+        r = subprocess.run(
+            [sys.executable, here, mode, ap, op],
+            cwd=os.path.dirname(here),
+            stdout=sys.stderr,  # keep the ONE-json-line stdout contract clean
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"bench subprocess {mode} failed rc={r.returncode}")
+        with open(op) as fh:
+            return json.load(fh)
+    finally:
+        for f in (ap, op):
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
 
 
 def _gen_main(args_path: str, out_path: str) -> None:
@@ -254,13 +259,15 @@ def _leg_main(args_path: str, out_path: str) -> None:
         s, a["scale_path"], a["num_shards"], k=100,
         n_queries=a["n_queries"], encode_input=a["encode_input"],
     )
-    from splade_spark.fixtures import queries_df as _qdf2
-    from splade_spark.tokenize import query_term_freqs as _qtf2
-
-    warm_qt = (
-        _qtf2(_qdf2(s, 100)).select("query_id", "term_id", "qtf").toPandas()
-    )
-    job["query_batch"](warm_qt)  # warm (plans, Arrow workers)
+    # warm at the SAME batch size the timed run uses: broadcast
+    # construction for the full term list and the result-assembly shape
+    # are batch-size-dependent, and a cold cost c added to both widths
+    # turns t_n/(4·t_4n) into (t_n+c)/(4·(t_4n+c)) — a systematic
+    # deflation of the graded efficiency that min-over-rounds cannot
+    # reject because every round pays it. retrieve() caches nothing
+    # across calls (per-call decode caches only), so the second, timed
+    # run re-does all real work.
+    job["query_once"]()  # warm (plans, Arrow workers, broadcast shape)
     q0 = time.time()
     job["query_once"]()
     qsec = time.time() - q0
@@ -385,6 +392,13 @@ def _engine_job(
             serving_state.append(s)
         return serving_state[0]
 
+    def release_serving():
+        """Drop the serving cache (a second full cached copy of the
+        postings) — call before any later timed measurement so it does
+        not hold executor memory through someone else's leg."""
+        if serving_state:
+            serving_state.pop().unpersist()
+
     qt = (
         query_term_freqs(queries_df(spark, n_queries))
         .select("query_id", "term_id", "qtf")
@@ -424,6 +438,7 @@ def _engine_job(
         "query_once": query_once,
         "query_batch": query_batch,
         "single_query_latencies": single_query_latencies,
+        "release_serving": release_serving,
         "encode_sec": encode_sec,
         "encode_postings": encode_postings,
         "scale": scale,
@@ -584,6 +599,10 @@ def main() -> None:
     from splade_spark.fixtures import queries_df as _qdf
     from splade_spark.tokenize import query_term_freqs as _qtf
 
+    # the single-query phase above built a cached serving copy of the
+    # postings; drop it so the timed batch legs don't run under its
+    # executor-memory footprint
+    job["release_serving"]()
     batch_scaling = {}
     for nq in (500, 5000):
         qt_big = (

@@ -104,10 +104,22 @@ def main(argv: list[str] | None = None) -> int:
 
     def _check_catalog(table: str) -> None:
         """Verify the table's catalog resolves BEFORE any corpus scan —
-        an unresolved catalog must not surface after a full encode."""
-        catalog = table.split(".", 1)[0] if "." in table else None
-        if not catalog:
+        an unresolved catalog must not surface after a full encode.
+
+        Only the first component of a ≥3-part identifier is necessarily a
+        catalog. A 2-part ``db.tbl`` resolves its namespace in the
+        session's CURRENT catalog unless ``db`` happens to be a configured
+        catalog — probing ``SHOW NAMESPACES IN db`` for that case would
+        reject perfectly valid input."""
+        parts = table.split(".")
+        if len(parts) < 2:
             return
+        catalog = parts[0]
+        has_catalog_conf = (
+            spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+        )
+        if len(parts) == 2 and not has_catalog_conf:
+            return  # namespace.table in the current catalog
         try:
             spark.sql(f"SHOW NAMESPACES IN {catalog}").collect()
         except Exception as exc:

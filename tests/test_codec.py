@@ -136,7 +136,7 @@ def test_encode_for_blocks_matches_per_block(blocks):
 def test_decode_block_raw_integer_parity():
     """decode_block_raw returns the quantized int64 weights the WAND kernel
     scores with — dividing by scale must reproduce decode_block exactly."""
-    from splade_spark.index.codec import decode_block_raw
+    from splade_spark.index.codec import decode_block_raw, encode_for
 
     rng = np.random.default_rng(7)
     docs = np.sort(rng.choice(10**6, size=300, replace=False)).astype(np.int64)
@@ -146,8 +146,13 @@ def test_decode_block_raw_integer_parity():
         for (bid, first, last, n, dbytes, wbytes, bmax) in encode_blocks(
             docs, weights, scale, block_size=128
         ):
-            d1, w1 = decode_block(first, n, dbytes, wbytes, scale)
-            d2, q2 = decode_block_raw(first, n, dbytes, wbytes)
+            if codec == "for":
+                # encode_blocks always emits varint doc deltas; re-pack
+                # them as FOR so this leg drives BOTH decoders' FOR branch
+                d0, _ = decode_block(first, n, dbytes, wbytes, scale)
+                dbytes = encode_for(np.diff(d0).astype(np.uint64))
+            d1, w1 = decode_block(first, n, dbytes, wbytes, scale, codec=codec)
+            d2, q2 = decode_block_raw(first, n, dbytes, wbytes, codec=codec)
             assert q2.dtype == np.int64
             assert np.array_equal(d1, d2)
             assert np.array_equal(w1, q2 / scale)
