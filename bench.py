@@ -274,9 +274,18 @@ def _leg_main(args_path: str, out_path: str) -> None:
     # across calls (per-call decode caches only), so the second, timed
     # run re-does all real work.
     job["query_once"]()  # warm (plans, Arrow workers, broadcast shape)
-    q0 = time.time()
-    job["query_once"]()
-    qsec = time.time() - q0
+    # two timed samples of each graded stage, INTERLEAVED (encode, query,
+    # encode, query) so a leg's two encode samples sit ~a timed-query
+    # apart: this box's external tenancy arrives in multi-minute bursts
+    # that can start or end mid-leg, and min-of-2-within-leg × 3 rounds
+    # gives six time-spread samples per width for the min estimator
+    # instead of three
+    esecs, qsecs = [], []
+    for _ in range(2):
+        esecs.append(job["encode_fn"]())
+        q0 = time.time()
+        job["query_once"]()
+        qsecs.append(time.time() - q0)
     s.stop()
     for d in _TMP_DIRS:  # this leg's scratch index dirs
         shutil.rmtree(d, ignore_errors=True)
@@ -286,9 +295,11 @@ def _leg_main(args_path: str, out_path: str) -> None:
                 "postings": job["postings"],
                 "build_sec": job["build_sec"],
                 "pipeline_sec": job["pipeline_sec"],
-                "encode_sec": job["encode_sec"],
+                "encode_sec": min(esecs),
                 "encode_postings": job["encode_postings"],
-                "query_batch_sec": qsec,
+                "query_batch_sec": min(qsecs),
+                "encode_secs": [round(e, 3) for e in esecs],
+                "query_batch_secs": [round(q, 3) for q in qsecs],
                 "loadavg_at_start": round(load0, 2),
                 "busy_frac_at_start": round(busy0, 3),
                 "stage_wall": job["stage_wall"],
@@ -373,9 +384,10 @@ def _engine_job(
     # every leg: a leg must carry tens of seconds of real work at the
     # narrow width or the fixed per-stage cost (~2s: scheduling, Arrow
     # worker handshake) swamps the signal — the replication factor is
-    # sized so fixed cost is <5% of the narrow leg's work. One timed run
-    # per leg spin-up; the caller min-reduces across interleaved rounds.
-    encode_sec = None
+    # sized so fixed cost is <5% of the narrow leg's work. The leg calls
+    # encode_fn for each timed sample (min-reduced by the caller across
+    # within-leg repetitions AND interleaved rounds).
+    encode_fn = None
     encode_postings = None
     if encode_input:
         from pyspark.sql import functions as F
@@ -385,12 +397,14 @@ def _engine_job(
         encode_postings = big.count()
         # warm pass on the 1x table (plans, Arrow workers)
         build_postings(w, scale, num_shards=num_shards).agg(F.sum("n")).collect()
-        e0 = time.time()
-        build_postings(big, scale, num_shards=num_shards).agg(
-            F.sum("n")
-        ).collect()
-        encode_sec = time.time() - e0
-        big.unpersist()
+
+        def encode_fn() -> float:
+            e0 = time.time()
+            build_postings(big, scale, num_shards=num_shards).agg(
+                F.sum("n")
+            ).collect()
+            return time.time() - e0
+
     if tf is not None:
         tf.unpersist()
     w.unpersist()
@@ -460,7 +474,7 @@ def _engine_job(
         "query_batch": query_batch,
         "single_query_latencies": single_query_latencies,
         "release_serving": release_serving,
-        "encode_sec": encode_sec,
+        "encode_fn": encode_fn,
         "encode_postings": encode_postings,
         "scale": scale,
         "num_shards": num_shards,
