@@ -50,17 +50,37 @@ def _cpu_busy_frac(sample_s: float = 1.0) -> float:
     return 1.0 - (i1 - i0) / dt if dt > 0 else 0.0
 
 
-def _settle(max_busy: float = 0.10, timeout_s: float = 120.0) -> float:
+def _dirty_mb() -> float:
+    """MB of dirty + writeback pages — the disk debt a finished phase
+    leaves behind."""
+    out = 0
+    with open("/proc/meminfo") as fh:
+        for line in fh:
+            if line.startswith(("Dirty:", "Writeback:")):
+                out += int(line.split()[1])
+    return out / 1024.0
+
+
+def _settle(max_busy: float = 0.10, timeout_s: float = 120.0,
+            max_dirty_mb: float = 256.0) -> float:
     """Wait until the box quiesces before a timed leg, returning the busy
     fraction observed at release. A just-stopped 32-thread phase leaves
     executor JVMs shutting down, GC, and kernel memory compaction running
     for seconds-to-tens-of-seconds; round 3's driver-recorded run showed
     the scaling n-legs (which always followed a full-width phase)
     absorbing exactly that — query 'efficiency' 1.29 is a measurement
-    artifact, not a result. Gate on instantaneous busy CPU, not loadavg."""
+    artifact, not a result. Gate on instantaneous busy CPU, not loadavg.
+
+    Also force-drains dirty pages first: a heavy phase's multi-GB parquet
+    output keeps flushing asynchronously for minutes after the phase
+    returns, and a leg timed against that writeback measures the previous
+    phase's disk debt (observed: narrow-leg encode samples 2-2.5x slower
+    whenever the leg followed a full-width write phase, with CPU idle at
+    leg start). sync(2) blocks until the flush completes on Linux."""
+    os.sync()
     deadline = time.time() + timeout_s
     busy = _cpu_busy_frac()
-    while busy > max_busy and time.time() < deadline:
+    while (busy > max_busy or _dirty_mb() > max_dirty_mb) and time.time() < deadline:
         time.sleep(2)
         busy = _cpu_busy_frac()
     return busy
@@ -106,7 +126,8 @@ def _machine_parallel_ceiling(lo_workers: int, hi_workers: int) -> float:
     return min(1.0, min(times[lo_workers]) / min(times[hi_workers]))
 
 
-def _mk_cluster(nexec: int, cores_per: int, app: str, pyzip: str):
+def _mk_cluster(nexec: int, cores_per: int, app: str, pyzip: str,
+                local_dir: str | None = None):
     """Real multi-executor Spark: local-cluster[N, cores, mem] launches N
     separate executor JVM processes (not threads in the driver JVM), with
     the engine shipped as a --py-files zip — the north rule's spark-submit
@@ -114,14 +135,29 @@ def _mk_cluster(nexec: int, cores_per: int, app: str, pyzip: str):
     mode all K tasks' row→Arrow conversion and sort contend in one heap,
     capping measured build scaling at ~0.5 regardless of the job's actual
     parallel structure; with separate executor JVMs the same job measures
-    ~1.0 (see BASELINE.md round-2 scaling notes)."""
+    ~1.0 (see BASELINE.md round-2 scaling notes).
+
+    local_dir: shuffle/scratch directory override. The scaling legs pass a
+    tmpfs path: on a real cluster every node has its own shuffle disk(s),
+    so shuffle bandwidth scales with executor count; this sandbox has ONE
+    shared disk, so a disk-backed shuffle measures that box artifact
+    instead of the job (round-2 measurement: write MB/s flat in executor
+    count). tmpfs keeps all shuffle work — serialization, fetch, spill
+    accounting — while standing in for per-node shuffle storage. The
+    build leg's parquet SINK still goes through the real disk and is
+    reported (honestly weak) as the disk-bound leg."""
     from pyspark.sql import SparkSession
 
     total = nexec * cores_per
-    return (
+    b = (
         SparkSession.builder.master(f"local-cluster[{nexec},{cores_per},6144]")
         .appName(app)
         .config("spark.executor.memory", "6g")
+    )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
+    return (
+        b
         .config("spark.submit.pyFiles", pyzip)
         .config("spark.sql.shuffle.partitions", str(max(total * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -255,8 +291,18 @@ def _leg_main(args_path: str, out_path: str) -> None:
         a = json.load(fh)
     busy0 = _settle()
     load0 = os.getloadavg()[0]
+    # tmpfs shuffle scratch for the leg — the sandbox stand-in for the
+    # per-node shuffle disks a real cluster scales with (see _mk_cluster)
+    shm_dir = None
+    if os.path.isdir("/dev/shm"):
+        shm_dir = tempfile.mkdtemp(prefix="splade_leg_shuffle_", dir="/dev/shm")
+        # standalone-style workers take SPARK_LOCAL_DIRS over the
+        # spark.local.dir conf (Spark warns so at launch); local-cluster
+        # worker JVMs inherit this subprocess's environment
+        os.environ["SPARK_LOCAL_DIRS"] = shm_dir
     s = _mk_cluster(
-        a["nexec"], a["cores_per"], f"splade_scale_{a['label']}", a["pyzip"]
+        a["nexec"], a["cores_per"], f"splade_scale_{a['label']}", a["pyzip"],
+        local_dir=shm_dir,
     )
     s.sparkContext.setLogLevel("ERROR")
     s.sparkContext.addPyFile(a["pyzip"])
@@ -289,6 +335,8 @@ def _leg_main(args_path: str, out_path: str) -> None:
     s.stop()
     for d in _TMP_DIRS:  # this leg's scratch index dirs
         shutil.rmtree(d, ignore_errors=True)
+    if shm_dir:
+        shutil.rmtree(shm_dir, ignore_errors=True)
     with open(out_path, "w") as fh:
         json.dump(
             {
