@@ -223,15 +223,9 @@ def main(argv: list[str] | None = None) -> int:
         qt = query_term_freqs(queries).select("query_id", "term_id", "qtf").toPandas()
         t0 = time.time()
         # num_shards from the meta kills an extra max(shard_id) Spark job
-        # (a full postings scan) per query batch. Driver-side top-k merge
-        # (one fewer Spark stage) collects up to n_q × k × num_shards rows,
-        # so the cutoff must bound that product, not the query count alone —
-        # 1000 queries × k=100 × 4096 shards would be 410M driver rows. Cap
-        # the collect at ~2M rows (<100 MB of (str, i64, i64) tuples);
-        # anything bigger takes the distributed window merge.
-        driver_ok = (
-            qt["query_id"].nunique() * args.k * meta["num_shards"] <= 2_000_000
-        )
+        # (a full postings scan) per query batch; merge='auto' picks the
+        # driver-side top-k merge (one fewer Spark stage) whenever the
+        # collected row bound allows (policy lives in query.wand)
         runs = retrieve(
             postings,
             qt,
@@ -241,7 +235,7 @@ def main(argv: list[str] | None = None) -> int:
             num_shards=meta["num_shards"],
             bits=meta.get("bits", 8),
             codec=meta.get("codec", "varint"),
-            merge="driver" if driver_ok else "window",
+            merge="auto",
         )
         write_runs_parquet(runs, args.out)
         _log(f"query: k={args.k} wall={time.time() - t0:.2f}s → {args.out}")

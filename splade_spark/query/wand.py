@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 from ..index.codec import check_bits, decode_block_raw
 
 CHUNK = 8  # intervals scored per refinement round
+# merge='auto' collects per-shard top-k driver-side only below this bound on
+# n_queries × k × num_shards (~100 MB of (str, i64, i64) tuples)
+DRIVER_MERGE_MAX_ROWS = 2_000_000
 
 
 def _topk_merge(
@@ -200,23 +203,35 @@ def retrieve(
     path for interactive/small batches (the reference's mono-CPU latency
     protocol analogue, efficient_splade_pisa/README.md:47-59). Identical
     results by construction: both orders are (score_int desc, doc_id asc)
-    over the same shard-local integer scores.
+    over the same shard-local integer scores. 'auto' picks driver when the
+    collected row bound n_queries × k × num_shards stays under
+    DRIVER_MERGE_MAX_ROWS (~100 MB of (str, i64, i64) tuples) — the bound
+    must cap that product, not the query count alone: 1000 queries × k=100
+    × 4096 shards would be 410M driver rows.
 
     prepartitioned: postings came from ``prepare_serving`` (already
     shuffled by shard_id) — skip the per-batch repartition; the term
     filter preserves the partitioning, so a batch costs one Spark stage.
     """
     check_bits(bits)
-    if merge not in ("window", "driver"):
+    if merge not in ("window", "driver", "auto"):
         # a typo would silently fall through to the window path — results
         # identical, but the caller's one-stage serving intent ignored
-        raise ValueError(f"merge must be 'window' or 'driver', got {merge!r}")
+        raise ValueError(
+            f"merge must be 'window', 'driver' or 'auto', got {merge!r}"
+        )
     spark = postings.sparkSession
     if isinstance(query_terms, pd.DataFrame):
         # query-service path: terms already driver-side, skip the Spark job
         qpdf = query_terms[["query_id", "term_id", "qtf"]]
     else:
         qpdf = query_terms.select("query_id", "term_id", "qtf").toPandas()
+    if merge == "auto":
+        if num_shards is None:
+            merge = "window"  # unknown shard count → can't bound the collect
+        else:
+            bound = qpdf["query_id"].nunique() * k * num_shards
+            merge = "driver" if bound <= DRIVER_MERGE_MAX_ROWS else "window"
     bq = spark.sparkContext.broadcast(
         [
             (qid, list(zip(g["term_id"].tolist(), g["qtf"].tolist())))

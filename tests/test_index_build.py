@@ -237,3 +237,18 @@ def test_driver_merge_equals_window_merge(spark, corpus, tmp_path):
     assert [(f.name, f.dataType) for f in win.schema] == [
         (f.name, f.dataType) for f in drv.schema
     ]
+    # merge='auto': small batch resolves to the driver path (results
+    # identical either way; the plan check is that it doesn't throw and
+    # matches), an over-bound k×shards product falls back to window, and
+    # an unknown shard count cannot bound the collect → window
+    aut = retrieve(postings, qt, scale, k=15, num_shards=4, merge="auto")
+    assert sorted(map(key, win.collect())) == sorted(map(key, aut.collect()))
+    from splade_spark.query import wand as _wand
+
+    old = _wand.DRIVER_MERGE_MAX_ROWS
+    try:
+        _wand.DRIVER_MERGE_MAX_ROWS = 1  # force the window fallback
+        big = retrieve(postings, qt, scale, k=15, num_shards=4, merge="auto")
+        assert sorted(map(key, win.collect())) == sorted(map(key, big.collect()))
+    finally:
+        _wand.DRIVER_MERGE_MAX_ROWS = old
