@@ -38,10 +38,18 @@ def documents_text(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(docs: DataFrame, partitions: int = 0) -> DataFrame:
+def assign_doc_ids(
+    docs: DataFrame, partitions: int = 0,
+    cache_registry: list | None = None,
+) -> DataFrame:
     """Add dense int64 doc_id in ascending conv_id order, distributed.
 
     Returns (doc_id long, conv_id string, text string, n_turns long).
+
+    cache_registry: when provided, the internally cached DataFrame is
+    appended to it so the caller can unpersist once downstream consumption
+    is done — a long-lived loop (e.g. one call per streaming micro-batch)
+    would otherwise accumulate one pinned cache entry per call.
     """
     spark = docs.sparkSession
     partitions = partitions or docs.sparkSession.sparkContext.defaultParallelism
@@ -51,6 +59,8 @@ def assign_doc_ids(docs: DataFrame, partitions: int = 0) -> DataFrame:
     # cached: the per-partition count job below and the downstream consumer
     # would otherwise each recompute the full upstream aggregation
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).cache()
+    if cache_registry is not None:
+        cache_registry.append(with_pid)
     counts = {
         r["_pid"]: r["c"]
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("c")).collect()
@@ -82,9 +92,16 @@ def assign_doc_ids(docs: DataFrame, partitions: int = 0) -> DataFrame:
     return with_pid.mapInPandas(add_ids, schema=schema)
 
 
-def build_documents(transcripts: DataFrame, partitions: int = 0) -> DataFrame:
-    """Full pipeline: transcripts → (doc_id, conv_id, text, n_turns)."""
-    return assign_doc_ids(documents_text(transcripts), partitions)
+def build_documents(
+    transcripts: DataFrame, partitions: int = 0,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Full pipeline: transcripts → (doc_id, conv_id, text, n_turns).
+
+    cache_registry: see assign_doc_ids."""
+    return assign_doc_ids(
+        documents_text(transcripts), partitions, cache_registry=cache_registry
+    )
 
 
 def doc_map(documents: DataFrame) -> DataFrame:

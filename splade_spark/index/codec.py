@@ -203,8 +203,11 @@ def encode_blocks(
 
     Returns rows (block_id, first_doc, last_doc, n, doc_bytes, w_bytes,
     block_max). doc_bytes = varint of consecutive deltas (n-1 values);
-    block_max = max *dequantized* weight so WAND bounds are exact over the
-    values the kernel will score with.
+    block_max = max *quantized* weight as an int — the same integer domain
+    encode_groups emits, POSTINGS_SCHEMA declares ('block_max int'), and
+    the WAND kernel's integer scoring reads (a dequantized float here
+    would truncate toward zero when cast into the int schema, making
+    whole blocks prunable below θ and silently dropping matches).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     order = np.argsort(doc_ids, kind="stable")
@@ -215,7 +218,7 @@ def encode_blocks(
         d = doc_ids[b0 : b0 + block_size]
         w = q[b0 : b0 + block_size]
         deltas = np.diff(d).astype(np.uint64)
-        bmax = float(w.max()) / scale if len(w) else 0.0
+        bmax = int(w.max()) if len(w) else 0
         rows.append(
             (
                 b0 // block_size,

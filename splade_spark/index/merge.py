@@ -157,12 +157,15 @@ def merge_indexes(
         bits=metas[0].get("bits", 8),
         codec=metas[0].get("codec", "varint"),
     )
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard_id")
-        .parquet(out_path)
-    )
+    # STATIC overwrite, unlike build_index's dynamic mode: dynamic only
+    # replaces partitions present in the new data, so a merge into a path
+    # that previously held an index with more shards (or any shard the new
+    # merge leaves empty) would keep the stale shard partitions on disk —
+    # postings for documents that exist in no merged segment, silently
+    # wrong at query time. Merge has no per-shard resume ledger, so the
+    # whole-directory replace costs nothing and a killed merge re-run is
+    # still idempotent.
+    merged.write.mode("overwrite").partitionBy("shard_id").parquet(out_path)
     # atomic tmp+rename, same as the build path: a crash mid-write must not
     # leave a merged index the query path cannot open
     _write_index_meta(
@@ -186,10 +189,19 @@ def tiered_merge_plan(segment_sizes: list[int], fanout: int = 4) -> list[list[in
     accumulates >= fanout segments they merge into the next tier. Driver-side
     planning only — the merges themselves are Spark jobs.
     """
-    import math
+
+    def _tier(sz: int) -> int:
+        # integer floor-log: float math.log(fanout**t, fanout) rounds DOWN
+        # for exact powers (int(math.log(3**5, 3)) == 4), dropping freshly
+        # merged fanout^t-sized segments a tier low and re-merging them
+        # prematurely
+        t, sz = 0, max(sz, 1)
+        while sz >= fanout:
+            sz //= fanout
+            t += 1
+        return t
 
     tiers: dict[int, list[int]] = {}
     for i, sz in enumerate(segment_sizes):
-        t = int(math.log(max(sz, 1), fanout))
-        tiers.setdefault(t, []).append(i)
+        tiers.setdefault(_tier(sz), []).append(i)
     return [idxs for t, idxs in sorted(tiers.items()) if len(idxs) >= fanout]

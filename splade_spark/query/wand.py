@@ -331,6 +331,13 @@ def retrieve(
     out_schema = "query_id string, doc_id long, score double, rank int"
     if merge == "driver":
         pdf = local.toPandas()
+        # the job is done — free the per-call query-terms broadcast now.
+        # The serving loop calls retrieve() once per batch; without this,
+        # a long-lived query service accumulates one broadcast per call in
+        # the driver and every executor's block manager until the context
+        # cleaner happens to run. (The lazy window path below cannot do
+        # this: its job runs after retrieve() returns.)
+        bq.unpersist(blocking=False)
         parts = []
         for qid, g in pdf.groupby("query_id", sort=False):
             docs = g["doc_id"].to_numpy(np.int64)

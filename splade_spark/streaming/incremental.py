@@ -61,8 +61,12 @@ class FrozenStats:
         return cls(d["n_docs"], d["avgdl"], d["scale"], d["df_path"])
 
     def save(self, path: str) -> None:
-        with open(path, "w") as fh:
+        # atomic tmp+replace, same as the watermark writer below: a crash
+        # mid-write must not leave a truncated JSON that load() chokes on
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(self.to_dict(), fh)
+        os.replace(tmp, path)
 
 
 def _counter_path(base_dir: str) -> str:
@@ -99,33 +103,41 @@ def build_segment_from_batch(
     epoch_id: int,
 ) -> str | None:
     """One micro-batch of transcripts → one posting segment directory."""
-    docs = build_documents(batch)
-    offset = _next_doc_id(base_dir)
-    docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
-    n_new = docs.count()
-    if n_new == 0:
-        return None
-    tf = term_freqs(docs)
-    df_table = batch.sparkSession.read.parquet(stats.df_path)
-    w = bm25_weights(
-        tf, stats.n_docs, stats.avgdl, df_table=df_table
-    ).select("doc_id", "term_id", "weight")
-    seg = os.path.join(base_dir, "segments", f"epoch={epoch_id:08d}")
-    build_index(
-        w,
-        seg,
-        stats.scale,
-        num_shards=num_shards,
-        resume=False,
-        lineage={"epoch": epoch_id, "doc_id_offset": offset, "n_docs": n_new,
-                 "frozen_stats": stats.to_dict()},
-    )
-    # doc_map for the new range
-    docs.select("doc_id", "conv_id").write.mode("overwrite").parquet(
-        seg + "_docmap"
-    )
-    _set_next_doc_id(base_dir, offset + n_new)
-    return seg
+    caches: list = []
+    docs = build_documents(batch, cache_registry=caches)
+    try:
+        offset = _next_doc_id(base_dir)
+        docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+        n_new = docs.count()
+        if n_new == 0:
+            return None
+        tf = term_freqs(docs)
+        df_table = batch.sparkSession.read.parquet(stats.df_path)
+        w = bm25_weights(
+            tf, stats.n_docs, stats.avgdl, df_table=df_table
+        ).select("doc_id", "term_id", "weight")
+        seg = os.path.join(base_dir, "segments", f"epoch={epoch_id:08d}")
+        build_index(
+            w,
+            seg,
+            stats.scale,
+            num_shards=num_shards,
+            resume=False,
+            lineage={"epoch": epoch_id, "doc_id_offset": offset, "n_docs": n_new,
+                     "frozen_stats": stats.to_dict()},
+        )
+        # doc_map for the new range
+        docs.select("doc_id", "conv_id").write.mode("overwrite").parquet(
+            seg + "_docmap"
+        )
+        _set_next_doc_id(base_dir, offset + n_new)
+        return seg
+    finally:
+        # one pinned cache entry per micro-batch would otherwise accumulate
+        # for the stream's lifetime (LRU eviction then silently turns later
+        # in-batch reuses into full recomputes)
+        for c in caches:
+            c.unpersist()
 
 
 def list_segments(base_dir: str) -> list[str]:
@@ -143,11 +155,18 @@ def load_all_postings(spark: SparkSession, base_dir: str, base_index: str | None
     """Union of the base index (if any) and all live segments — retrieval is
     distributive over docID-disjoint segments, so querying the union is
     exact without waiting for a merge."""
+    from ..index.build import load_postings
+
     paths = ([base_index] if base_index else []) + list_segments(base_dir)
-    assert paths, "no postings found"
-    df = spark.read.parquet(paths[0])
+    if not paths:
+        # explicit raise, not assert (must survive python -O — see
+        # merge.py's guard convention)
+        raise ValueError(f"no postings found under {base_dir!r}")
+    # load_postings applies POSTINGS_SCHEMA explicitly — an empty segment
+    # directory (interrupted write) would otherwise fail schema inference
+    df = load_postings(spark, paths[0])
     for p in paths[1:]:
-        df = df.unionByName(spark.read.parquet(p))
+        df = df.unionByName(load_postings(spark, p))
     return df
 
 
@@ -161,8 +180,35 @@ def start_incremental_indexer(
     available_now: bool = True,
 ):
     """readStream over a landing directory of transcript parquet files →
-    one segment per micro-batch. Returns the StreamingQuery."""
+    one segment per micro-batch. Returns the StreamingQuery.
+
+    Input contract: each landed FILE must hold whole conversations — all
+    of a conv_id's turns in one file. Micro-batches are file-granular
+    (maxFilesPerTrigger bounds batch memory during catch-up), and
+    build_documents groups turns per batch only: a conversation split
+    across files that land in different batches would be indexed as two
+    partial documents under two doc_ids. Any writer that partitions its
+    output by conversation (the normal shape for transcript landing data)
+    satisfies this; turn-level appends to an existing conversation need
+    the merge/rebuild path instead.
+
+    num_shards must match across the stream's lifetime (and the base index
+    it will be merged with): merge_indexes rejects mismatched shard
+    counts, and that rejection would otherwise surface only after many
+    segments accumulate. A restart with a different value is refused here,
+    at stream start."""
     os.makedirs(base_dir, exist_ok=True)
+    existing = list_segments(base_dir)
+    if existing:
+        from ..index.build import read_index_meta
+
+        prev = read_index_meta(existing[0]).get("num_shards")
+        if prev is not None and prev != num_shards:
+            raise ValueError(
+                f"num_shards={num_shards} does not match the existing "
+                f"segments' num_shards={prev} — segments with mixed shard "
+                "counts can never be merged (pass the original value)"
+            )
     stats.save(os.path.join(base_dir, "_frozen_stats.json"))
     stream = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)

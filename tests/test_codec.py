@@ -50,7 +50,10 @@ def test_block_roundtrip(postings):
     for (bid, first, last, n, dbytes, wbytes, bmax) in blocks:
         d, w = decode_block(first, n, dbytes, wbytes, scale)
         assert d[0] == first and d[-1] == last and len(d) == n
-        assert abs(w.max() - bmax) < 1e-12
+        # block_max is in the quantized int domain (matches encode_groups
+        # and POSTINGS_SCHEMA's 'block_max int')
+        assert isinstance(bmax, int)
+        assert abs(w.max() - bmax / scale) < 1e-12
         got_docs.append(d)
         got_w.append(w)
     got_docs = np.concatenate(got_docs)

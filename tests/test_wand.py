@@ -42,7 +42,7 @@ def test_wand_kernel_matches_brute_force(n_terms, k, theta0, rnd):
         qtfs[t] = qtf
         firsts = np.array([b[1] for b in blocks], dtype=np.int64)
         lasts = np.array([b[2] for b in blocks], dtype=np.int64)
-        bmax = np.array([int(b[6] * scale + 0.5) for b in blocks], dtype=np.int64)
+        bmax = np.array([b[6] for b in blocks], dtype=np.int64)
         rows = [(b[1], b[3], b[4], b[5]) for b in blocks]
         terms.append((t, qtf, firsts, lasts, bmax, rows))
         q_int = np.rint(np.array(weights) * scale).clip(0, 255).astype(int)
