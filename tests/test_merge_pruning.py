@@ -64,6 +64,12 @@ def test_segment_merge_equals_full_build(spark, corpus, tmp_path):
 def test_tiered_merge_plan():
     assert tiered_merge_plan([1, 2, 3, 2, 100], fanout=4) == [[0, 1, 2, 3]]
     assert tiered_merge_plan([100, 200], fanout=4) == []
+    # exact powers of the fanout must classify into THEIR tier: float
+    # math.log put fanout**t a tier low (int(log(3**5, 3)) == 4), grouping
+    # a fresh 243-doc merge with the 81-class and re-merging it prematurely
+    assert tiered_merge_plan([3**5] * 3 + [3**4] * 2, fanout=3) == [[0, 1, 2]]
+    assert tiered_merge_plan([4**3] * 4, fanout=4) == [[0, 1, 2, 3]]
+    assert tiered_merge_plan([4**3] * 3 + [4**2], fanout=4) == []
 
 
 def test_prune_by_value(spark, corpus):
