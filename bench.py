@@ -243,7 +243,7 @@ def _gen_main(args_path: str, out_path: str) -> None:
     from splade_spark.bm25 import bm25_weights
     from splade_spark.documents import build_documents
     from splade_spark.fixtures import transcripts
-    from splade_spark.stats import corpus_stats
+    from splade_spark.stats import corpus_stats_from_docs
     from splade_spark.tokenize import term_freqs as _tfq
 
     tdir = a["tdir"]
@@ -255,7 +255,7 @@ def _gen_main(args_path: str, out_path: str) -> None:
     )
     _docs = build_documents(spark.read.parquet(tdir + "/scale"))
     _tf = _tfq(_docs).cache()
-    _n, _avg = corpus_stats(_tf)
+    _n, _avg = corpus_stats_from_docs(_docs)
     _w = bm25_weights(_tf, _n, _avg).select("doc_id", "term_id", "weight")
     # the 1x weights are stored too: the scaling legs time shuffle+encode+
     # write from THIS table instead of re-running the tokenize/stats chain
@@ -374,7 +374,7 @@ def _engine_job(
     from splade_spark.fixtures import queries_df
     from splade_spark.index.build import build_index, load_postings
     from splade_spark.query.wand import retrieve
-    from splade_spark.stats import corpus_stats
+    from splade_spark.stats import corpus_stats_from_docs
     from splade_spark.tokenize import query_term_freqs, term_freqs
 
     import pandas as _pd
@@ -408,7 +408,7 @@ def _engine_job(
         stage_wall["docs"] = round(time.time() - t0, 2)
         ts = time.time()
         tf = term_freqs(docs).cache()  # reused by weights' df branch + main
-        n, avgdl = corpus_stats(tf)
+        n, avgdl = corpus_stats_from_docs(docs)  # map-only, no tf shuffle
         stage_wall["tf_stats"] = round(time.time() - ts, 2)
         ts = time.time()
         w = bm25_weights(tf, n, avgdl).select("doc_id", "term_id", "weight").cache()
@@ -537,13 +537,13 @@ def _merge_bench(spark, transcripts_path: str, num_shards: int) -> tuple[float, 
     from splade_spark.documents import build_documents
     from splade_spark.index.build import build_index
     from splade_spark.index.merge import merge_indexes
-    from splade_spark.stats import corpus_stats
+    from splade_spark.stats import corpus_stats_from_docs
     from splade_spark.tokenize import term_freqs
 
     d = tempfile.mkdtemp(prefix="splade_bench_m_")
     docs = build_documents(spark.read.parquet(transcripts_path))
     tf = term_freqs(docs).cache()
-    n, avgdl = corpus_stats(tf)
+    n, avgdl = corpus_stats_from_docs(docs)
     w = bm25_weights(tf, n, avgdl).select("doc_id", "term_id", "weight").cache()
     w.count()
     scale = quantization_scale(w)

@@ -140,7 +140,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from .bm25 import bm25_weights, quantization_scale
         from .documents import build_documents
-        from .stats import corpus_stats
+        from .stats import corpus_stats_from_docs
         from .tokenize import term_freqs
 
         from .index.build import build_index
@@ -162,11 +162,12 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.time()
         tr = spark.read.parquet(args.transcripts)
         docs = build_documents(tr)
-        # cached: consumed by corpus stats, the df aggregation inside
-        # bm25_weights, quantization, and the build shuffle — uncached this
-        # lineage would tokenize the corpus four times
+        # cached: consumed by the df aggregation inside bm25_weights,
+        # quantization, and the build shuffle — uncached this lineage
+        # would tokenize the corpus three times. N/avgdl come from the
+        # documents table directly (map-only, no postings-wide shuffle).
         tf = term_freqs(docs).cache()
-        n, avgdl = corpus_stats(tf)
+        n, avgdl = corpus_stats_from_docs(docs)
         _log(f"corpus: N={n} avgdl={avgdl:.2f} ({time.time() - t0:.1f}s)")
         w = bm25_weights(tf, n, avgdl).select("doc_id", "term_id", "weight")
         scale = quantization_scale(w)
@@ -196,6 +197,10 @@ def main(argv: list[str] | None = None) -> int:
         docs.select("doc_id", "conv_id").write.mode("overwrite").parquet(
             args.index + "_docmap"
         )
+        # all consumers of the cached term table have run; drop it so a
+        # caller embedding this entry point in a loop doesn't accumulate
+        # pinned cache entries (same discipline as the streaming indexer)
+        tf.unpersist()
         _log(f"build: {json.dumps(metrics)}")
 
     elif args.cmd == "query":

@@ -6,8 +6,9 @@ PISA's block_simdbp impact-sorted index with block-max WAND metadata
 (efficient_splade_pisa/README.md:28-38). We internalize that layout:
 docID-ascending posting lists cut into fixed-size blocks; per block we store
 (first_doc, count, varint-encoded consecutive-doc deltas, quantized weight
-bytes, block_max over *dequantized* weights) — block_max on the stored
-(quantized) values keeps block-max WAND rank-safe.
+bytes, block_max over the stored *quantized* weights) — block_max in the
+integer domain matching POSTINGS_SCHEMA and the WAND kernel's integer
+scoring keeps block-max pruning rank-safe with no float round-trip.
 
 Everything is vectorized numpy — these functions run inside Arrow grouped-map
 UDFs on executors; no per-row Python.

@@ -83,6 +83,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int = 10000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with n-gram Jaccard >= tau, a < b.
 
@@ -90,8 +91,16 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|-|A∩B|. max_shingle_df drops ubiquitous shingles to
     bound join skew (at 100 TB this cap is what keeps the op feasible;
     shingles that common carry no dedup signal anyway).
+
+    cache_registry: the shingle table is cached (three consumers in the
+    returned plan); pass a list and the cached frame is appended so the
+    caller can unpersist after consuming the result — a curation loop
+    calling this per-corpus otherwise accumulates one pinned cache entry
+    per call (same contract as documents.assign_doc_ids).
     """
     sh = doc_shingles(df, n, id_col, text_col).cache()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
     sh_f = sh.join(freq.filter(F.col("sdf") <= max_shingle_df), "shingle")
@@ -234,6 +243,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     base_hash: str = "xxhash64",
     hash_buckets: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """LSH candidates verified with *exact* n-gram Jaccard.
 
@@ -241,10 +251,16 @@ def minhash_dedup_pairs(
     (recall ≈ 1 - (1 - tau^(h/bands))^bands, tunable). With
     base_hash='polyhash' and hash_buckets=False every stage is
     ANSI-SQL-reproducible (the harness oracle re-runs the whole pipeline
-    in DuckDB, injecting the (a,b) coefficients as literals)."""
+    in DuckDB, injecting the (a,b) coefficients as literals).
+
+    cache_registry: the signature and shingle tables are cached (each has
+    multiple consumers in the returned plan); pass a list to receive the
+    cached frames for unpersist-after-consume — see ngram_jaccard_pairs."""
     sigs = minhash_signatures(
         df, n, num_hashes, id_col, text_col, base_hash=base_hash
     ).cache()
+    if cache_registry is not None:
+        cache_registry.append(sigs)
     cands = minhash_lsh_candidates(sigs, bands, id_col, hash_buckets=hash_buckets)
     # cheap signature-level Jaccard estimate prunes most candidates before
     # the exact shingle-join verify (estimate is unbiased with sd
@@ -268,6 +284,8 @@ def minhash_dedup_pairs(
     )
     cands = est.filter(F.col("est_j") >= tau - 0.2).select("doc_a", "doc_b")
     sh = doc_shingles(df, n, id_col, text_col).cache()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     # verify candidates with exact Jaccard: common shingles per pair
     a_sh = sh.withColumnRenamed(id_col, "doc_a")

@@ -301,10 +301,13 @@ def cosine_near_dup_pairs(
         stats = sigs.groupBy("bucket").agg(
             F.count("*").alias("_bsize"), F.min(id_col).alias("_rep")
         )
-        # NOT force-broadcast: distinct-bucket count is 2^nbits at best but
-        # approaches n for high-entropy signatures — exactly the at-scale
-        # regime this guard exists for. Let Spark/AQE pick the strategy
-        # (it will broadcast when stats is actually small).
+        # stats has at most 2^nbits rows by construction (bucket is an
+        # nbits-bit signature), so for nbits <= 16 it is provably tiny
+        # (<= 65536 × ~24 B) and broadcast unconditionally — no reliance on
+        # AQE being enabled, no counting job. Beyond that the bucket count
+        # can approach n, so let Spark/AQE pick the strategy.
+        if nbits <= 16:
+            stats = F.broadcast(stats)
         e = e.join(stats, "bucket")
         small = e.filter(F.col("_bsize") <= max_bucket_size)
         big = e.filter(F.col("_bsize") > max_bucket_size)

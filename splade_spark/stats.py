@@ -15,10 +15,40 @@ from pyspark.sql import functions as F
 
 
 def corpus_stats(term_freqs: DataFrame) -> tuple[int, float]:
-    """(N docs, avgdl). One small two-agg job over distinct docs."""
+    """(N docs, avgdl). One small two-agg job over distinct docs.
+
+    Shape note: this shuffles the (doc_id, doc_len) projection of the term
+    table — postings-cardinality rows — to recover two scalars. When the
+    upstream documents DataFrame is at hand, prefer
+    ``corpus_stats_from_docs``: same two scalars, map-only scan, no
+    shuffle (the difference between a two-scalar job and an exabyte-scale
+    exchange at 10^12 docs)."""
     row = (
         term_freqs.groupBy("doc_id")
         .agg(F.first("doc_len").alias("dl"))
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def corpus_stats_from_docs(
+    documents: DataFrame, text_col: str = "text"
+) -> tuple[int, float]:
+    """(N docs, avgdl) straight from the documents table — no shuffle.
+
+    Bit-identical to ``corpus_stats(term_freqs(documents))``: docs that
+    tokenize to zero tokens produce no term rows, so both paths exclude
+    them, and Spark's avg over an int column sums in exact int64 before
+    one double divide — no float-summation-order dependence. The plan is
+    a map-only tokenize+size projection with a partial-aggregated global
+    agg (one single-row exchange) instead of a full shuffle of the term
+    table's (doc_id, doc_len) projection."""
+    from .tokenize import tokens_col
+
+    row = (
+        documents.select(F.size(tokens_col(F.col(text_col))).alias("dl"))
+        .filter(F.col("dl") > 0)
         .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )

@@ -202,7 +202,24 @@ def start_incremental_indexer(
     if existing:
         from ..index.build import read_index_meta
 
-        prev = read_index_meta(existing[0]).get("num_shards")
+        # a micro-batch killed mid-build leaves a segment dir with no meta
+        # file; scan for the first segment with readable meta instead of
+        # dying on the partial one with an opaque FileNotFoundError
+        prev = None
+        partial: list[str] = []
+        for seg in existing:
+            try:
+                prev = read_index_meta(seg).get("num_shards")
+                break
+            except (OSError, ValueError):
+                partial.append(seg)
+        if prev is None and partial:
+            raise ValueError(
+                f"no existing segment has a readable _index_meta.json "
+                f"(partial segment dirs from an interrupted build: "
+                f"{partial}) — delete them (the stream checkpoint will "
+                "replay their batches) before restarting"
+            )
         if prev is not None and prev != num_shards:
             raise ValueError(
                 f"num_shards={num_shards} does not match the existing "

@@ -112,3 +112,24 @@ def test_simhash(spark, dup_corpus):
     assert pset[(0, 1)] == 0 and pset[(4, 6)] == 0
     # near-dup doc 3 within a few bits of doc 0
     assert (0, 3) in pset
+
+
+def test_dedup_cache_registry_unpersists_clean(spark, dup_corpus):
+    """The shingle/signature caches must be releasable: with a registry,
+    consuming the result then unpersisting leaves no pinned cache entries
+    beyond what existed before the call (the curation-loop contract)."""
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    # re-pin the fixture cache dropped by clearCache so later tests keep it
+    dup_corpus.cache().count()
+    before = jsc.getPersistentRDDs().size()
+    reg: list = []
+    try:
+        ngram_jaccard_pairs(dup_corpus, n=3, tau=0.5, cache_registry=reg).collect()
+        minhash_dedup_pairs(dup_corpus, n=3, tau=0.5, cache_registry=reg).collect()
+        assert len(reg) == 3  # jaccard: shingles; minhash: sigs + shingles
+        assert jsc.getPersistentRDDs().size() > before
+    finally:
+        for c in reg:
+            c.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == before

@@ -122,3 +122,26 @@ def test_bm25_topk_vs_duckdb(spark):
     for key in exp:
         assert abs(got[key][0] - exp[key][0]) < 1e-9
         assert got[key][1] == exp[key][1]
+
+
+def test_corpus_stats_from_docs_matches_tf_path(spark, tiny_documents):
+    """The shuffle-free documents-based stats must be bit-identical to the
+    term-table path (both sum doc lengths in exact int64)."""
+    from splade_spark.stats import corpus_stats_from_docs
+
+    tf = term_freqs(tiny_documents)
+    assert corpus_stats(tf) == corpus_stats_from_docs(tiny_documents)
+
+
+def test_corpus_stats_from_docs_excludes_empty_docs(spark):
+    """Docs tokenizing to zero tokens produce no term rows, so the tf path
+    never counts them; the docs path must filter them the same way."""
+    from splade_spark.stats import corpus_stats_from_docs
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "!!! ---"), (3, "one")],
+        "doc_id long, text string",
+    )
+    got = corpus_stats_from_docs(docs)
+    assert got == (2, 1.5)
+    assert got == corpus_stats(term_freqs(docs))
