@@ -736,6 +736,68 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through the PERSISTED LSH index (pipeline/ann_index.py): build
+    writes parquet hive-partitioned by bucket in one Arrow pass, the query
+    side computes its probe set driver-side and scans only the probed
+    partitions (directory-level pruning). Result-identical to the per-call
+    path at the same (nbits, seed, 1-bit multiprobe), so the DuckDB oracle
+    replays the same seeded-hyperplane signatures + bit-flip probes + exact
+    rerank — a green hash proves the build→meta→probe→prune→rerank
+    round-trip against an independent engine. Queries vec_id 6..8 (distinct
+    from ann_lsh_topk's 0..2)."""
+    import tempfile
+
+    from splade_spark.pipeline.ann_index import build_lsh_index, lsh_topk_from_index
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="splade_ann_lsh_") + "/idx"
+    build_lsh_index(emb, path, nbits=10, dim=64)
+    q = emb.filter((F.col("vec_id") >= 6) & (F.col("vec_id") < 9)).toPandas()
+    import pandas as pd
+
+    qv = pd.DataFrame(
+        {"query_id": [f"v{i}" for i in q["vec_id"]], "embedding": q["embedding"].tolist()}
+    )
+    res = lsh_topk_from_index(spark, path, qv, k=5, multiprobe_bits=1)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through the PERSISTED IVF index: the trained centroid matrix
+    lives in the index meta (it IS the model), vectors are parquet
+    partitioned by cell, and the query probes its nprobe nearest cells via
+    partition pruning. Run at nprobe = n_centroids (every cell probed →
+    candidates = whole corpus) so the SQL oracle is plain brute-force
+    cosine top-k; the approximate path is recall-tested in pytest. Queries
+    vec_id 9..11 (distinct from ann_ivf_topk's 3..5)."""
+    import tempfile
+
+    from splade_spark.pipeline.ann_index import build_ivf_index, ivf_topk_from_index
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="splade_ann_ivf_") + "/idx"
+    build_ivf_index(emb, path, n_centroids=8, sample_size=1_000_000)
+    q = emb.filter((F.col("vec_id") >= 9) & (F.col("vec_id") < 12)).toPandas()
+    import pandas as pd
+
+    qv = pd.DataFrame(
+        {"query_id": [f"v{i}" for i in q["vec_id"]], "embedding": q["embedding"].tolist()}
+    )
+    res = ivf_topk_from_index(spark, path, qv, k=5, nprobe=8)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via hyperplane-LSH buckets + exact
     JVM-side cosine verify, SQL-oracle-checked with the planes injected as
@@ -835,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bm25_topk": q_engine_bm25_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_served": q_ann_lsh_served,
+        "ann_ivf_served": q_ann_ivf_served,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_capped": q_emb_near_dup_capped,
         "engine_bm25_serving": q_engine_bm25_serving,
@@ -1339,6 +1403,68 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e CROSS JOIN probes p
             )
             -- nprobe = n_centroids probes every IVF cell, so the engine's
+            -- candidate set is the whole corpus: plain brute-force top-k
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank FROM (
+              SELECT 'v' || qid::VARCHAR AS query_id, vec_id, cosine,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_lsh_served": f"""
+            WITH planes(j, pv) AS (VALUES {lsh_planes}),
+            e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            bits AS (
+              SELECT vec_id, j, list_dot_product(v, pv) AS dot
+              FROM e CROSS JOIN planes
+            ),
+            sigs AS (
+              SELECT vec_id,
+                sum(CASE WHEN dot > 0 THEN (1::BIGINT << j)
+                         ELSE 0 END)::BIGINT AS bucket
+              FROM bits GROUP BY 1
+            ),
+            flips(f) AS (VALUES {lsh_flips}),
+            probes AS (  -- query buckets + all 1-bit flips (multiprobe)
+              SELECT DISTINCT xor(bucket, f) AS pb
+              FROM sigs, flips WHERE vec_id >= 6 AND vec_id < 9
+            ),
+            cand AS (
+              SELECT vec_id FROM sigs
+              WHERE bucket IN (SELECT pb FROM probes)
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e
+                  WHERE vec_id >= 6 AND vec_id < 9),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                list_dot_product(e.v, q.qv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+              FROM e JOIN cand USING (vec_id) CROSS JOIN q
+            )
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank FROM (
+              SELECT 'v' || qid::VARCHAR AS query_id, vec_id, cosine,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_ivf_served": """
+            WITH probes AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id >= 9 AND vec_id < 12
+            ),
+            scored AS (
+              SELECT p.qid, e.vec_id,
+                list_dot_product(e.embedding::DOUBLE[], p.qvec)
+                  / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(p.qvec, p.qvec))) AS cosine
+              FROM embeddings e CROSS JOIN probes p
+            )
+            -- nprobe = n_centroids probes every IVF cell, so the served
             -- candidate set is the whole corpus: plain brute-force top-k
             SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank FROM (
               SELECT 'v' || qid::VARCHAR AS query_id, vec_id, cosine,
