@@ -107,27 +107,51 @@ def _score_query_in_shard(
                 break
         pos += CHUNK
 
+        # chunk intervals are disjoint (elementary intervals), so per term:
+        # (1) ONE searchsorted pair over the whole chunk gives each
+        # interval's overlapping block range, (2) the union of needed
+        # blocks decodes once (range-cover diff trick, no per-interval
+        # loop), (3) ONE membership pass of the decoded docs against the
+        # sorted interval bounds replaces the per-(interval x block) mask —
+        # the surviving (doc, weight) set is identical to the nested-loop
+        # form because each doc lives in exactly one interval and, within a
+        # term, exactly one block.
+        los = bounds[chunk]
+        his = bounds[chunk + 1]
+        iord = np.argsort(los)
+        slos, shis = los[iord], his[iord]
         cand_docs, cand_w = [], []
         for tid, qtf, firsts, lasts, _bmax, rows in terms:
-            for ci in chunk:
-                lo, hi = int(bounds[ci]), int(bounds[ci + 1])
-                j0 = int(np.searchsorted(lasts, lo, side="left"))
-                j1 = int(np.searchsorted(firsts, hi, side="left"))
-                for j in range(j0, j1):
-                    key = (tid, j)
-                    blk = decoded.get(key)
-                    if blk is None:
-                        first, n, dbytes, wbytes = rows[j]
-                        # raw int decode: the kernel scores in the quantized
-                        # integer domain, so one parse per block, no float
-                        # divide ever
-                        blk = decode_block_raw(first, n, dbytes, wbytes, bits, codec)
-                        decoded[key] = blk
-                    d, q = blk
-                    sel = (d >= lo) & (d < hi)
-                    if sel.any():
-                        cand_docs.append(d[sel])
-                        cand_w.append(qtf * q[sel])
+            j0s = np.searchsorted(lasts, los, side="left")
+            j1s = np.searchsorted(firsts, his, side="left")
+            valid = j1s > j0s
+            if not valid.any():
+                continue
+            nb = len(firsts)
+            cover = np.zeros(nb + 1, dtype=np.int32)
+            np.add.at(cover, j0s[valid], 1)
+            np.add.at(cover, j1s[valid], -1)
+            need = np.nonzero(np.cumsum(cover[:nb]) > 0)[0]
+            ds, qs = [], []
+            for j in need.tolist():
+                key = (tid, j)
+                blk = decoded.get(key)
+                if blk is None:
+                    first, n, dbytes, wbytes = rows[j]
+                    # raw int decode: the kernel scores in the quantized
+                    # integer domain, so one parse per block, no float
+                    # divide ever
+                    blk = decode_block_raw(first, n, dbytes, wbytes, bits, codec)
+                    decoded[key] = blk
+                ds.append(blk[0])
+                qs.append(blk[1])
+            d = np.concatenate(ds)
+            q = np.concatenate(qs)
+            pos_i = np.searchsorted(slos, d, side="right") - 1
+            sel = (pos_i >= 0) & (d < shis[np.maximum(pos_i, 0)])
+            if sel.any():
+                cand_docs.append(d[sel])
+                cand_w.append(qtf * q[sel])
         if not cand_docs:
             continue
         cd = np.concatenate(cand_docs)
