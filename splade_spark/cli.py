@@ -72,10 +72,35 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("--segments", required=True, nargs="+")
     mp.add_argument("--out", required=True)
 
+    ap = sub.add_parser(
+        "ann-build",
+        help="build a persisted ANN index (LSH or IVF) over an embedding "
+             "column — parquet hive-partitioned by bucket/cell; queries "
+             "then scan only probed partitions",
+    )
+    ap.add_argument("--embeddings", required=True,
+                    help="parquet with (id, embedding array<float>)")
+    ap.add_argument("--index", required=True, help="output index dir")
+    ap.add_argument("--kind", choices=["lsh", "ivf"], default="lsh")
+    ap.add_argument("--nbits", type=int, default=12, help="LSH: signature bits")
+    ap.add_argument("--centroids", type=int, default=64, help="IVF: cells")
+    ap.add_argument("--id-col", default="vec_id")
+    ap.add_argument("--vec-col", default="embedding")
+
+    aq = sub.add_parser("ann-query", help="top-k cosine ANN over a persisted index")
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--queries", required=True,
+                    help="parquet with (query_id, embedding)")
+    aq.add_argument("--out", required=True, help="results parquet dir")
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--nprobe", type=int, default=8, help="IVF cells probed")
+    aq.add_argument("--multiprobe-bits", type=int, default=1,
+                    help="LSH: probe buckets within this many bit flips")
+
     # session options shared by every subcommand: without these the
     # iceberg path could never reach a configured catalog except under
     # spark-submit with externally supplied --conf
-    for sp_ in (sp, bp, qp, ep, mp):
+    for sp_ in (sp, bp, qp, ep, mp, ap, aq):
         sp_.add_argument(
             "--warehouse", default=None,
             help="Iceberg warehouse root — registers a hadoop catalog "
@@ -265,6 +290,49 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.time()
         out = merge_indexes(spark, args.segments, args.out)
         _log(f"merge: {json.dumps(out)} wall={time.time() - t0:.2f}s")
+
+    elif args.cmd == "ann-build":
+        from .pipeline.ann_index import build_ivf_index, build_lsh_index
+
+        emb = spark.read.parquet(args.embeddings)
+        t0 = time.time()
+        if args.kind == "lsh":
+            meta = build_lsh_index(
+                emb, args.index, nbits=args.nbits,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+        else:
+            meta = build_ivf_index(
+                emb, args.index, n_centroids=args.centroids,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+        _log(
+            f"ann-build: kind={meta['kind']} n_vectors={meta['n_vectors']} "
+            f"wall={time.time() - t0:.2f}s → {args.index}"
+        )
+
+    elif args.cmd == "ann-query":
+        from .pipeline.ann_index import (
+            ivf_topk_from_index, lsh_topk_from_index, read_ann_meta,
+        )
+
+        meta = read_ann_meta(args.index)
+        # query batches are driver-side by design: the probe set is tiny
+        # numpy and the per-batch cardinality is operator-bounded (a batch
+        # too big to hold driver-side should be split upstream)
+        qpdf = spark.read.parquet(args.queries).toPandas()
+        t0 = time.time()
+        if meta["kind"] == "lsh":
+            res = lsh_topk_from_index(
+                spark, args.index, qpdf, k=args.k,
+                multiprobe_bits=args.multiprobe_bits,
+            )
+        else:
+            res = ivf_topk_from_index(
+                spark, args.index, qpdf, k=args.k, nprobe=args.nprobe
+            )
+        res.write.mode("overwrite").parquet(args.out)
+        _log(f"ann-query: k={args.k} wall={time.time() - t0:.2f}s → {args.out}")
 
     return 0
 

@@ -159,3 +159,33 @@ def test_ivf_cells_cover_corpus(spark, ivf_path, emb):
     assert idx.select("vec_id").distinct().count() == emb.count()
     cells = {r.cell for r in idx.select("cell").distinct().collect()}
     assert cells <= set(range(8)) and len(cells) > 1
+
+
+def test_cli_ann_build_query(spark, emb, qvecs, tmp_path):
+    """ann-build → ann-query through the CLI surface, both kinds; the LSH
+    CLI result must equal the library served path at the same config."""
+    from splade_spark.cli import main
+
+    qdir = str(tmp_path / "q")
+    spark.createDataFrame(
+        qvecs, "query_id string, embedding array<float>"
+    ).write.parquet(qdir)
+    for kind, extra in (("lsh", ["--nbits", "10"]), ("ivf", ["--centroids", "8"])):
+        idir = str(tmp_path / f"cli_{kind}")
+        rdir = str(tmp_path / f"res_{kind}")
+        assert main(
+            ["ann-build", "--embeddings",
+             "/root/testdata/sf0.001/embeddings.parquet",
+             "--index", idir, "--kind", kind, *extra]
+        ) == 0
+        assert main(
+            ["ann-query", "--index", idir, "--queries", qdir,
+             "--out", rdir, "--k", "5", "--nprobe", "8"]
+        ) == 0
+        res = spark.read.parquet(rdir)
+        assert res.count() == 15 and res.filter("rank > 5").count() == 0
+    cli_lsh = spark.read.parquet(str(tmp_path / "res_lsh"))
+    lib = lsh_topk_from_index(
+        spark, str(tmp_path / "cli_lsh"), qvecs, k=5, multiprobe_bits=1
+    )
+    assert _key(cli_lsh.collect()) == _key(lib.collect())
