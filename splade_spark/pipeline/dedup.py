@@ -141,24 +141,105 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
-    base_hash: str = "xxhash64",
+    base_hash: str = "word",
 ) -> DataFrame:
     """(doc_id, sig array<long>): MinHash over word n-gram shingles.
 
-    Hybrid: shingle → 31-bit base hash JVM-side (codegen'd), then the
-    num_hashes × shingles (a·h+b) mod p min-reduction in a vectorized
-    Arrow kernel — a nested higher-order-function version of the
-    reduction is interpreted expression-eval in Spark and ~20× slower.
-    uint64 arithmetic is exact (a,h < 2^31 so a·h+b < 2^63).
+    base_hash modes (all yield valid MinHash families; signatures are NOT
+    comparable across modes):
 
-    base_hash: 'xxhash64' (default, one JVM hash op per shingle) or
-    'polyhash' (the shared rolling polynomial hash, SQL-reproducible —
-    lets an external ANSI-SQL oracle replicate signatures bit-for-bit;
-    costs ~|shingle| ops per shingle, so keep xxhash64 in production)."""
+    - 'word' (default, fastest): ONE JVM xxhash64 per WORD, then the
+      shingle base hash is a vectorized rolling combination of n
+      consecutive word hashes in the Arrow kernel (odd seeded constants,
+      wraparound uint64, mod p) — no shingle-string allocation at all.
+      Profiled on 5 KB fixture docs: the shingle-string HOF
+      (slice+array_join per position) was ~45% of the whole op and the
+      per-doc Python loop another ~50%; this mode removes both (the
+      min-reduce runs as chunked minimum.reduceat across the whole Arrow
+      batch, memory-bounded).
+    - 'xxhash64': shingle string → JVM xxhash64 (one hash per shingle;
+      the pre-round-4 production mode, kept for signature stability).
+    - 'polyhash': the shared rolling polynomial hash, SQL-reproducible —
+      lets an external ANSI-SQL oracle replicate signatures bit-for-bit;
+      costs ~|shingle| ops per shingle, oracle use only.
+
+    The (a·h+b) mod p min-reduction is exact uint64 (a,h < 2^31 so
+    a·h+b < 2^63)."""
     import numpy as np
     from collections.abc import Iterator
 
     a, b = _hash_coeffs(num_hashes, seed)
+    spark = df.sparkSession
+    bab = spark.sparkContext.broadcast(
+        (np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64))
+    )
+
+    if base_hash == "word":
+        toks = tokens_col(F.col(text_col))
+        src = df.select(
+            id_col,
+            F.transform(toks, lambda w: F.xxhash64(w)).alias("word_hashes"),
+        ).filter(F.size("word_hashes") >= n)
+        # odd combine constants: seeded, distinct from the (a,b) family
+        crng = np.random.default_rng(seed + 1)
+        comb = (
+            crng.integers(1, 1 << 62, size=n, dtype=np.uint64) << np.uint64(1)
+        ) | np.uint64(1)
+        bcomb = spark.sparkContext.broadcast(comb)
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            A, B = bab.value
+            C = bcomb.value
+            M = np.uint64(MERSENNE31)
+            H = len(A)
+            # slab size bounds the (H, slab) work matrix: 1<<17 shingles
+            # x 64 hashes x 8 B ~= 67 MB per slab
+            SLAB = 1 << 17
+            for pdf in batches:
+                col = pdf["word_hashes"]
+                ndoc = len(col)
+                if ndoc == 0:
+                    continue
+                lens = np.fromiter(
+                    (len(h) for h in col), dtype=np.int64, count=ndoc
+                )
+                flat = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in col]
+                ).astype(np.uint64)
+                total = len(flat)
+                L = total - n + 1
+                acc = np.zeros(L, dtype=np.uint64)
+                for j in range(n):
+                    acc += flat[j : j + L] * C[j]
+                sh_all = acc % M
+                # window starts crossing a doc boundary are invalid:
+                # doc at [s, s+l) owns starts [s, s+l-n]
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                ve = np.minimum(starts + lens - n + 1, L)
+                dif = np.zeros(L + 1, dtype=np.int32)
+                np.add.at(dif, starts, 1)
+                np.add.at(dif, ve, -1)
+                sh_valid = sh_all[np.cumsum(dif[:-1]) > 0]
+                nsh = lens - n + 1  # >=1: JVM filter guarantees len>=n
+                seg = np.concatenate(([0], np.cumsum(nsh)))
+                sig_out = np.empty((ndoc, H), dtype=np.int64)
+                i = 0
+                while i < ndoc:
+                    j = int(
+                        np.searchsorted(seg, seg[i] + SLAB, side="left")
+                    )
+                    j = max(i + 1, min(j, ndoc))
+                    sub = sh_valid[seg[i] : seg[j]]
+                    m = (A[:, None] * sub[None, :] + B[:, None]) % M
+                    red = np.minimum.reduceat(m, seg[i:j] - seg[i], axis=1)
+                    sig_out[i:j] = red.T.astype(np.int64)
+                    i = j
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "sig": [r.tolist() for r in sig_out]}
+                )
+
+        return src.mapInPandas(kernel, schema=f"{id_col} long, sig array<long>")
+
     sh = shingles_col(F.col(text_col), n)
     if base_hash == "polyhash":
         from .textstats import fingerprint_col
@@ -170,10 +251,6 @@ def minhash_signatures(
         base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
     src = df.select(id_col, base.alias("base_hashes")).filter(
         F.size("base_hashes") > 0
-    )
-    spark = df.sparkSession
-    bab = spark.sparkContext.broadcast(
-        (np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64))
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -241,7 +318,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
-    base_hash: str = "xxhash64",
+    base_hash: str = "word",
     hash_buckets: bool = True,
     cache_registry: list | None = None,
 ) -> DataFrame:
@@ -282,8 +359,20 @@ def minhash_dedup_pairs(
             / F.size("sig_a"),
         )
     )
-    cands = est.filter(F.col("est_j") >= tau - 0.2).select("doc_a", "doc_b")
-    sh = doc_shingles(df, n, id_col, text_col).cache()
+    cands = est.filter(F.col("est_j") >= tau - 0.2).select("doc_a", "doc_b").cache()
+    if cache_registry is not None:
+        cache_registry.append(cands)
+    # exact verify touches ONLY candidate docs: at corpus scale the verify
+    # shingle pass must cost O(candidates), not a second full-corpus
+    # shingle job (sizes are only consumed for candidate pairs anyway)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = doc_shingles(
+        df.join(cand_ids, id_col, "left_semi"), n, id_col, text_col
+    ).cache()
     if cache_registry is not None:
         cache_registry.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))

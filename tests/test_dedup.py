@@ -127,7 +127,8 @@ def test_dedup_cache_registry_unpersists_clean(spark, dup_corpus):
     try:
         ngram_jaccard_pairs(dup_corpus, n=3, tau=0.5, cache_registry=reg).collect()
         minhash_dedup_pairs(dup_corpus, n=3, tau=0.5, cache_registry=reg).collect()
-        assert len(reg) == 3  # jaccard: shingles; minhash: sigs + shingles
+        # jaccard: shingles; minhash: sigs + candidate pairs + shingles
+        assert len(reg) == 4
         assert jsc.getPersistentRDDs().size() > before
     finally:
         for c in reg:
