@@ -59,6 +59,45 @@ def _lsh_planes(dim: int, nbits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((dim, nbits))
 
 
+def _lsh_bucket_rows(
+    embeddings: DataFrame,
+    dim: int,
+    nbits: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Single pass: compute the bucket AND carry the embedding in one Arrow
+    kernel (no corpus-vs-signatures self-join — at 100 TB that join is a
+    second full shuffle of the fat vector column for nothing). Shared by
+    build and append so appended rows land in exactly the buckets a full
+    rebuild would produce."""
+    spark = embeddings.sparkSession
+    bp = spark.sparkContext.broadcast(_lsh_planes(dim, nbits, seed))
+
+    def kernel(batches):
+        p = bp.value
+        weights = (1 << np.arange(p.shape[1], dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if mat.shape[1] != p.shape[0]:
+                raise ValueError(
+                    f"embedding dim {mat.shape[1]} != index dim {p.shape[0]}"
+                )
+            bits = (mat @ p) > 0
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = (
+                (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            )
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, {vec_col} array<float>, bucket long"
+    )
+
+
 def build_lsh_index(
     embeddings: DataFrame,
     path: str,
@@ -74,29 +113,7 @@ def build_lsh_index(
     join back to the source table. Returns build metrics."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    spark = embeddings.sparkSession
-    bp = spark.sparkContext.broadcast(_lsh_planes(dim, nbits, seed))
-
-    # single pass: compute the bucket AND carry the embedding in one Arrow
-    # kernel (no corpus-vs-signatures self-join — at 100 TB that join is a
-    # second full shuffle of the fat vector column for nothing)
-    def kernel(batches):
-        p = bp.value
-        weights = (1 << np.arange(p.shape[1], dtype=np.uint64)).astype(np.uint64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            bits = (mat @ p) > 0
-            out = pdf[[id_col, vec_col]].copy()
-            out["bucket"] = (
-                (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
-            )
-            yield out
-
-    rows = embeddings.select(id_col, vec_col).mapInPandas(
-        kernel, schema=f"{id_col} long, {vec_col} array<float>, bucket long"
-    )
+    rows = _lsh_bucket_rows(embeddings, dim, nbits, seed, id_col, vec_col)
     # one shuffle by the partition key → each bucket directory written by
     # exactly one task (no small-file explosion at high partition counts)
     (
@@ -105,6 +122,7 @@ def build_lsh_index(
         .partitionBy("bucket")
         .parquet(path)
     )
+    spark = embeddings.sparkSession
     # count from the written parquet: footer row-counts only, no rescan of
     # the (possibly expensive) source plan
     n_vectors = spark.read.parquet(path).count()
@@ -174,6 +192,80 @@ def lsh_topk_from_index(
     return brute_cosine_topk(
         cands, query_vectors, k, meta["id_col"], meta["vec_col"]
     )
+
+
+def append_lsh_index(embeddings: DataFrame, path: str) -> dict:
+    """Append new vectors to an existing LSH index without a rebuild.
+
+    The seeded planes come from the index meta, so appended rows land in
+    exactly the buckets a full rebuild would produce — build(A) then
+    append(B) is query-identical to build(A ∪ B). Parquet append into the
+    bucket partitions; meta n_vectors updated atomically afterwards (a
+    killed append leaves extra rows but a truthful-enough meta is restored
+    by the next successful append's recount).
+
+    ANN analogue of the BM25 side's incremental segment ingest
+    (streaming/incremental.py) — grow-only, no merge needed because
+    bucket partitions are content-addressed, not ordered."""
+    meta = read_ann_meta(path)
+    if meta.get("kind") != "lsh":
+        raise ValueError(f"index at {path} is kind={meta.get('kind')!r}, not lsh")
+    rows = _lsh_bucket_rows(
+        embeddings, meta["dim"], meta["nbits"], meta["seed"],
+        meta["id_col"], meta["vec_col"],
+    )
+    (
+        rows.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    spark = embeddings.sparkSession
+    meta["n_vectors"] = spark.read.parquet(path).count()
+    _write_meta(path, meta)
+    return meta
+
+
+def append_ivf_index(embeddings: DataFrame, path: str) -> dict:
+    """Append new vectors to an existing IVF index: route through the
+    STORED centroids (the coarse quantizer is frozen at build time, the
+    standard IVF contract — re-training would reshuffle existing cells),
+    parquet append into the cell partitions, meta recounted."""
+    meta = read_ann_meta(path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"index at {path} is kind={meta.get('kind')!r}, not ivf")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    dim = meta["dim"]
+    spark = embeddings.sparkSession
+    cent = np.array(meta["centroids"], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            if mat.shape[1] != dim:
+                raise ValueError(
+                    f"embedding dim {mat.shape[1]} != index dim {dim}"
+                )
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = (mat @ c.T).argmax(axis=1).astype("int32")
+            yield out
+
+    rows = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+    (
+        rows.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    meta["n_vectors"] = spark.read.parquet(path).count()
+    _write_meta(path, meta)
+    return meta
 
 
 def build_ivf_index(

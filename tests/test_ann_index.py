@@ -189,3 +189,70 @@ def test_cli_ann_build_query(spark, emb, qvecs, tmp_path):
         spark, str(tmp_path / "cli_lsh"), qvecs, k=5, multiprobe_bits=1
     )
     assert _key(cli_lsh.collect()) == _key(lib.collect())
+
+
+def test_lsh_append_equals_rebuild(spark, emb, qvecs, tmp_path):
+    """build(A) + append(B) must be query-identical to build(A ∪ B): the
+    appended rows use the meta's seeded planes, so bucket placement and
+    the probe-time candidate set match a full rebuild exactly."""
+    from splade_spark.pipeline.ann_index import append_lsh_index
+
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_lsh_index(half_a, inc, nbits=10, dim=64)
+    meta = append_lsh_index(half_b, inc)
+    assert meta["n_vectors"] == emb.count()
+    build_lsh_index(emb, full, nbits=10, dim=64)
+    got = lsh_topk_from_index(spark, inc, qvecs, k=5)
+    exp = lsh_topk_from_index(spark, full, qvecs, k=5)
+    assert _key(got.collect()) == _key(exp.collect())
+    # bucket contents identical, not just query results
+    ib = spark.read.parquet(inc).select("vec_id", "bucket")
+    fb = spark.read.parquet(full).select("vec_id", "bucket")
+    assert sorted(map(tuple, ib.collect())) == sorted(map(tuple, fb.collect()))
+
+
+def test_ivf_append_routes_through_stored_centroids(spark, emb, qvecs, tmp_path):
+    """Append routes through the frozen build-time quantizer: appended
+    vectors land in the cell the stored centroids choose, and a full-probe
+    query over the grown index is exact over the union."""
+    from splade_spark.pipeline.ann_index import append_ivf_index
+
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(half_a, inc, n_centroids=8, sample_size=100_000)
+    cent_before = read_ann_meta(inc)["centroids"]
+    meta = append_ivf_index(half_b, inc)
+    assert meta["n_vectors"] == emb.count()
+    assert meta["centroids"] == cent_before  # quantizer frozen
+    got = ivf_topk_from_index(spark, inc, qvecs, k=5, nprobe=8).collect()
+    exp = brute_expected(emb, qvecs, k=5)
+    assert _key(got) == exp
+
+
+def brute_expected(emb, qvecs, k):
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    q = np.array(qvecs["embedding"].tolist(), dtype=np.float64)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = mat @ q.T
+    out = []
+    for qi, qid in enumerate(qvecs["query_id"]):
+        order = np.lexsort((ids, -sims[:, qi]))[:k]
+        for rank, j in enumerate(order, 1):
+            out.append((qid, rank, int(ids[j]), round(float(sims[j, qi]), 9)))
+    return sorted(out)
+
+
+def test_append_kind_guard(spark, lsh_path, ivf_path, emb):
+    from splade_spark.pipeline.ann_index import append_ivf_index, append_lsh_index
+
+    with pytest.raises(ValueError, match="not ivf"):
+        append_ivf_index(emb, lsh_path)
+    with pytest.raises(ValueError, match="not lsh"):
+        append_lsh_index(emb, ivf_path)

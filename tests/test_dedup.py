@@ -134,3 +134,52 @@ def test_dedup_cache_registry_unpersists_clean(spark, dup_corpus):
         for c in reg:
             c.unpersist(blocking=True)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_simhash_bucket_cap_semantics(spark, dup_corpus):
+    """Cap semantics mirror cosine_near_dup_pairs: when no bucket exceeds
+    the cap the result is exactly the uncapped (pigeonhole-complete) set;
+    on a degenerate one-hot-bucket corpus the capped path returns the
+    star edges (rep, member) linearly instead of all O(n^2) pairs."""
+    tf = term_freqs(dup_corpus)
+    sigs = simhash_signatures(tf).cache()
+    uncapped = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(sigs, max_hamming=10).collect()
+    }
+    # generous cap: no bucket exceeds it -> identical result
+    same = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            sigs, max_hamming=10, max_bucket_size=10_000
+        ).collect()
+    }
+    assert same == uncapped
+    # tight cap: output is a subset, and every capped-bucket member still
+    # links to the bucket representative (star edges survive)
+    capped = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            sigs, max_hamming=10, max_bucket_size=2
+        ).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert all(uncapped[k] == v for k, v in capped.items())
+    # identical-signature group {0,1,2}: rep 0 keeps both members
+    assert (0, 1) in capped and (0, 2) in capped
+
+
+def test_simhash_cap_degenerate_hot_bucket(spark):
+    """All-identical docs: one bucket of n in every band. Uncapped is
+    O(n^2) pairs; capped is exactly the n-1 star edges with hamming 0."""
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+        "doc_id long, text string",
+    )
+    sigs = simhash_signatures(term_freqs(docs))
+    capped = simhash_near_dup_pairs(sigs, max_hamming=3, max_bucket_size=5)
+    rows = capped.collect()
+    assert len(rows) == n - 1
+    assert all(r.doc_a == 0 and r.hamming == 0 for r in rows)
+    assert {r.doc_b for r in rows} == set(range(1, n))
