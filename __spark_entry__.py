@@ -293,6 +293,29 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-guarded SimHash path: the polyhash term projection is
+    < 2^56, so the bands covering the always-unset high bits are fully
+    degenerate on this corpus (two 500-doc buckets) — exactly the hot-
+    bucket shape the cap exists for. max_bucket_size=50 sends those bands
+    (and band 1's 176/110-doc buckets) down the star-linking branch while
+    the diverse band 0 keeps exact all-pairs; the DuckDB oracle replays
+    the split literally (bucket sizes, min-id representative, union,
+    distinct, hamming filter), so BOTH branches are value-checked against
+    an independent engine."""
+    from splade_spark.pipeline.dedup import simhash_near_dup_pairs, simhash_signatures
+    from splade_spark.pipeline.textstats import fingerprint_col
+    from splade_spark.tokenize import term_freqs
+
+    tf = term_freqs(_docs(spark, sf_dir)).withColumn(
+        "h", fingerprint_col(F.col("term"))
+    )
+    sigs = simhash_signatures(tf, hash_col="h")
+    return simhash_near_dup_pairs(
+        sigs, max_hamming=3, max_bucket_size=50
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from splade_spark.pipeline.textstats import token_counts
 
@@ -884,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
+        "simhash_dups_capped": q_simhash_dups_capped,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -1214,6 +1238,66 @@ def oracle_sql() -> dict[str, str]:
               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "simhash_dups_capped": f"""
+            WITH {_TF},
+            th AS (
+              SELECT doc_id, tf,
+                list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(string_split(term, ''),
+                                   c -> ord(c)::BIGINT)),
+                  (acc, c) -> (acc * 31 + c) % {fp_mod}
+                ) AS h
+              FROM tf
+            ),
+            bits AS (
+              SELECT doc_id, i,
+                sum(CASE WHEN ((h >> i) & 1) = 1 THEN tf ELSE -tf END) AS acc
+              FROM th, unnest(range(0, 56)) AS r(i)
+              GROUP BY 1, 2
+            ),
+            sig AS (
+              SELECT doc_id,
+                sum(CASE WHEN acc > 0 THEN (1::BIGINT << i)
+                         ELSE 0 END)::BIGINT AS simhash
+              FROM bits GROUP BY 1
+            ),
+            -- max_hamming=3 -> four 16-bit bands at offsets 0/16/32/48
+            banded AS (
+              SELECT doc_id, simhash, band, (simhash >> off) & 65535 AS v
+              FROM sig, (VALUES (0, 0), (1, 16), (2, 32), (3, 48))
+                AS bo(band, off)
+            ),
+            stats AS (
+              SELECT band, v, count(*) AS bsize, min(doc_id) AS rep
+              FROM banded GROUP BY 1, 2
+            ),
+            bb AS (
+              SELECT banded.doc_id, banded.band, banded.v, s.bsize, s.rep
+              FROM banded JOIN stats s USING (band, v)
+            ),
+            small_pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bb a JOIN bb b
+                ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+              WHERE a.bsize <= 50
+            ),
+            big_pairs AS (  -- star edges: min-id rep -> member
+              SELECT rep AS doc_a, doc_id AS doc_b
+              FROM bb WHERE bsize > 50 AND doc_id <> rep
+            ),
+            cand AS (
+              SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs
+              )
+            )
+            SELECT c.doc_a, c.doc_b,
+              bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
         """,
         "token_counts": """
             SELECT doc_id,
