@@ -310,6 +310,7 @@ def _leg_main(args_path: str, out_path: str) -> None:
         s, a["scale_path"], a["num_shards"], k=100,
         n_queries=a["n_queries"], encode_input=a["encode_input"],
         weights_input=a.get("weights_input"),
+        scratch_dir=shm_dir,  # index sink on tmpfs: per-node-storage stand-in
     )
     # warm at the SAME batch size the timed run uses: broadcast
     # construction for the full term list and the result-assembly shape
@@ -364,11 +365,21 @@ def _engine_job(
     n_queries: int = 25,
     encode_input: str | None = None,
     weights_input: str | None = None,
+    scratch_dir: str | None = None,
 ):
     """The measured unit: stored transcripts → compressed index on disk —
     the full pipeline (scan, per-conversation doc agg, tokenize, BM25
     weights, quantization, sharded block encode, write, ledger). Returns
-    (postings, build_sec, query_fn)."""
+    (postings, build_sec, query_fn).
+
+    scratch_dir: where the index output lands. The scaling legs pass a
+    tmpfs path — on a real cluster the index sink is distributed storage
+    (HDFS/object store) whose aggregate write bandwidth scales with the
+    node count, while this sandbox has ONE shared local disk whose MB/s is
+    flat in executor count (measured rounds 2-3: build raw efficiency
+    pinned ≈0.44 with write time constant across widths — the leg was
+    measuring the disk, not the job). The headline run keeps the real
+    disk so the absolute postings/sec number stays honest."""
     from splade_spark.bm25 import bm25_weights, quantization_scale
     from splade_spark.documents import build_documents
     from splade_spark.fixtures import queries_df
@@ -386,7 +397,7 @@ def _engine_job(
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
 
-    root = tempfile.mkdtemp(prefix="splade_bench_")
+    root = tempfile.mkdtemp(prefix="splade_bench_", dir=scratch_dir)
     _TMP_DIRS.append(root)
     path = root + "/idx"
     stage_wall: dict[str, float] = {}  # per-stage diagnostics for the legs
@@ -441,10 +452,16 @@ def _engine_job(
         from pyspark.sql import functions as F
         from splade_spark.index.build import build_postings
 
-        big = spark.read.parquet(encode_input).cache()
+        if encode_input == weights_input:
+            # the build leg already ran build_postings on this exact cached
+            # table (inside build_index), so the plan/Arrow workers are warm
+            # and a separate warm pass would be a full redundant encode
+            big = w
+        else:
+            big = spark.read.parquet(encode_input).cache()
+            # warm pass on the smaller weights table (plans, Arrow workers)
+            build_postings(w, scale, num_shards=num_shards).agg(F.sum("n")).collect()
         encode_postings = big.count()
-        # warm pass on the 1x table (plans, Arrow workers)
-        build_postings(w, scale, num_shards=num_shards).agg(F.sum("n")).collect()
 
         def encode_fn() -> float:
             e0 = time.time()
@@ -455,7 +472,8 @@ def _engine_job(
 
     if tf is not None:
         tf.unpersist()
-    w.unpersist()
+    if encode_fn is None or big is not w:  # keep the cache encode_fn samples
+        w.unpersist()
 
     postings = load_postings(spark, path).cache()
     postings.count()
@@ -623,8 +641,16 @@ def main() -> None:
                 "cores_per": cores_per,
                 "pyzip": pyzip,
                 "scale_path": tdir + "/scale",
+                # BOTH the build and encode legs run on the 4x-replicated
+                # weights (~4x headline postings): at 1x the wide width
+                # finishes the CPU work so fast that the ~5 s of fixed cost
+                # (plan, commit, JVM ramp) dominates its build_sec and
+                # deflates the ratio — the same dilution the encode leg was
+                # given the 4x table to escape (measured at 1x: 4n build
+                # ~7-10 s of which most is fixed; n ~20 s). One table also
+                # means one cache fill per leg instead of two.
                 "encode_input": tdir + "/scale_w4",
-                "weights_input": tdir + "/scale_w1",
+                "weights_input": tdir + "/scale_w4",
                 "num_shards": num_shards,
                 "n_queries": N_SCALE_QUERIES,
             },
