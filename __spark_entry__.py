@@ -791,6 +791,41 @@ def q_ann_lsh_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through a GROWN LSH index: build on the even-id half, append the
+    odd-id half (append re-derives the seeded planes from the index meta,
+    so appended rows land in exactly the buckets a full rebuild would
+    produce), then query the grown index. The DuckDB oracle replays the
+    same signatures + per-query 1-bit multiprobe + exact rerank over the
+    FULL table — a green hash proves build(A) + append(B) ≡ build(A ∪ B)
+    against an independent engine, not just against our own rebuild
+    (pytest test_lsh_append_equals_rebuild). Queries vec_id 12..14
+    (distinct from ann_lsh_served's 6..8)."""
+    import tempfile
+
+    from splade_spark.pipeline.ann_index import (
+        append_lsh_index, build_lsh_index, lsh_topk_from_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="splade_ann_app_") + "/idx"
+    build_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), path, nbits=10, dim=64)
+    append_lsh_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    q = emb.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 15)).toPandas()
+    import pandas as pd
+
+    qv = pd.DataFrame(
+        {"query_id": [f"v{i}" for i in q["vec_id"]], "embedding": q["embedding"].tolist()}
+    )
+    res = lsh_topk_from_index(spark, path, qv, k=5, multiprobe_bits=1)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN through the PERSISTED IVF index: the trained centroid matrix
     lives in the index meta (it IS the model), vectors are parquet
@@ -922,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_served": q_ann_lsh_served,
+        "ann_lsh_appended": q_ann_lsh_appended,
         "ann_ivf_served": q_ann_ivf_served,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_capped": q_emb_near_dup_capped,
@@ -996,6 +1032,57 @@ def oracle_sql() -> dict[str, str]:
     lsh_planes = _plane_values(10)
     lsh_flips = ", ".join(["(0)"] + [f"({1 << i})" for i in range(10)])
     nd_planes = _plane_values(4)  # emb_near_dup uses nbits=4
+
+    def _lsh_per_query_sql(q_lo: int, q_hi: int) -> str:
+        """Seeded-plane LSH ANN with PER-QUERY probes (the served default):
+        each query keeps its own bucket + 1-bit flips and scores ONLY its
+        own candidates — served-batch work is Σ_q |cands_q|, which this SQL
+        replays literally (probes carries qid; cand joins on it). Shared by
+        ann_lsh_served (fresh build) and ann_lsh_appended (build + append):
+        the append path must produce the identical bucket assignment, so
+        both oracles are this same full-table replay."""
+        return f"""
+            WITH planes(j, pv) AS (VALUES {lsh_planes}),
+            e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            bits AS (
+              SELECT vec_id, j, list_dot_product(v, pv) AS dot
+              FROM e CROSS JOIN planes
+            ),
+            sigs AS (
+              SELECT vec_id,
+                sum(CASE WHEN dot > 0 THEN (1::BIGINT << j)
+                         ELSE 0 END)::BIGINT AS bucket
+              FROM bits GROUP BY 1
+            ),
+            flips(f) AS (VALUES {lsh_flips}),
+            probes AS (
+              SELECT vec_id AS qid, xor(bucket, f) AS pb
+              FROM sigs, flips WHERE vec_id >= {q_lo} AND vec_id < {q_hi}
+            ),
+            cand AS (  -- (qid, candidate): a vector lives in ONE bucket,
+                       -- and per-query flip targets are distinct → no dup
+              SELECT p.qid, s.vec_id FROM sigs s
+              JOIN probes p ON s.bucket = p.pb
+            ),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e
+                  WHERE vec_id >= {q_lo} AND vec_id < {q_hi}),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                list_dot_product(e.v, q.qv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+              FROM cand JOIN e ON e.vec_id = cand.vec_id
+              JOIN q ON q.qid = cand.qid
+            )
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank FROM (
+              SELECT 'v' || qid::VARCHAR AS query_id, vec_id, cosine,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """
     stop_en = "['the','a','of','and','to','in','is','it','that','for']"
     lang_scores = []
     for lang, words in {
@@ -1495,46 +1582,8 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
-        "ann_lsh_served": f"""
-            WITH planes(j, pv) AS (VALUES {lsh_planes}),
-            e AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            ),
-            bits AS (
-              SELECT vec_id, j, list_dot_product(v, pv) AS dot
-              FROM e CROSS JOIN planes
-            ),
-            sigs AS (
-              SELECT vec_id,
-                sum(CASE WHEN dot > 0 THEN (1::BIGINT << j)
-                         ELSE 0 END)::BIGINT AS bucket
-              FROM bits GROUP BY 1
-            ),
-            flips(f) AS (VALUES {lsh_flips}),
-            probes AS (  -- query buckets + all 1-bit flips (multiprobe)
-              SELECT DISTINCT xor(bucket, f) AS pb
-              FROM sigs, flips WHERE vec_id >= 6 AND vec_id < 9
-            ),
-            cand AS (
-              SELECT vec_id FROM sigs
-              WHERE bucket IN (SELECT pb FROM probes)
-            ),
-            q AS (SELECT vec_id AS qid, v AS qv FROM e
-                  WHERE vec_id >= 6 AND vec_id < 9),
-            scored AS (
-              SELECT q.qid, e.vec_id,
-                list_dot_product(e.v, q.qv)
-                  / (sqrt(list_dot_product(e.v, e.v))
-                     * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
-              FROM e JOIN cand USING (vec_id) CROSS JOIN q
-            )
-            SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank FROM (
-              SELECT 'v' || qid::VARCHAR AS query_id, vec_id, cosine,
-                row_number() OVER (PARTITION BY qid
-                                   ORDER BY cosine DESC, vec_id) AS rank
-              FROM scored
-            ) WHERE rank <= 5
-        """,
+        "ann_lsh_served": _lsh_per_query_sql(6, 9),
+        "ann_lsh_appended": _lsh_per_query_sql(12, 15),
         "ann_ivf_served": """
             WITH probes AS (
               SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec

@@ -32,7 +32,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import SEED, _kmeans, _normalize, brute_cosine_topk
+from .similarity import (
+    SEED,
+    _kmeans,
+    _normalize,
+    brute_cosine_topk,
+    bucketed_cosine_topk,
+    seeded_vector_sample,
+)
 
 ANN_META = "_ann_meta.json"
 
@@ -113,6 +120,12 @@ def build_lsh_index(
     join back to the source table. Returns build metrics."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
+    # count the SOURCE once, before the write: the bucket kernel is 1:1, so
+    # rows written == rows in. Re-listing the written index instead costs a
+    # full directory walk across up to 2^nbits bucket partitions — at
+    # billions of rows the listing alone is a job, paid on EVERY
+    # build/append (for a plain parquet source this count is footer-only)
+    n_vectors = embeddings.count()
     rows = _lsh_bucket_rows(embeddings, dim, nbits, seed, id_col, vec_col)
     # one shuffle by the partition key → each bucket directory written by
     # exactly one task (no small-file explosion at high partition counts)
@@ -122,10 +135,6 @@ def build_lsh_index(
         .partitionBy("bucket")
         .parquet(path)
     )
-    spark = embeddings.sparkSession
-    # count from the written parquet: footer row-counts only, no rescan of
-    # the (possibly expensive) source plan
-    n_vectors = spark.read.parquet(path).count()
     meta = {
         "kind": "lsh",
         "nbits": nbits,
@@ -139,12 +148,13 @@ def build_lsh_index(
     return meta
 
 
-def lsh_probe_buckets(
+def lsh_probe_buckets_per_query(
     query_vectors: pd.DataFrame, meta: dict, multiprobe_bits: int = 1
-) -> list[int]:
-    """Driver-side probe set: each query's own bucket plus all buckets
-    within ``multiprobe_bits`` bit flips (0 disables multiprobe). Tiny —
-    n_queries × (1 + nbits) ints for 1-bit multiprobe."""
+) -> dict[str, list[int]]:
+    """Driver-side probe sets, one per query: the query's own bucket plus
+    all buckets within ``multiprobe_bits`` bit flips (0 disables
+    multiprobe). Tiny — n_queries × (1 + nbits) ints for 1-bit
+    multiprobe."""
     nbits, dim, seed = meta["nbits"], meta["dim"], meta["seed"]
     qmat = np.array(query_vectors["embedding"].tolist(), dtype=np.float64)
     if qmat.shape[1] != dim:
@@ -156,16 +166,26 @@ def lsh_probe_buckets(
     qbits = (qmat @ planes) > 0
     weights = (1 << np.arange(nbits, dtype=np.uint64)).astype(np.uint64)
     qbuckets = (qbits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
-    probe: set[int] = set()
-    for b in qbuckets.tolist():
-        probe.add(b)
+    out: dict[str, list[int]] = {}
+    for qid, b in zip(query_vectors["query_id"].tolist(), qbuckets.tolist()):
+        probe: set[int] = {b}
         if multiprobe_bits >= 1:
             for i in range(nbits):
                 probe.add(b ^ (1 << i))
                 if multiprobe_bits >= 2:
                     for j in range(i + 1, nbits):
                         probe.add(b ^ (1 << i) ^ (1 << j))
-    return sorted(probe)
+        out[qid] = sorted(probe)
+    return out
+
+
+def lsh_probe_buckets(
+    query_vectors: pd.DataFrame, meta: dict, multiprobe_bits: int = 1
+) -> list[int]:
+    """Union of the per-query probe sets — what the partition-pruned scan
+    filters on (one scan serves the whole batch)."""
+    per_q = lsh_probe_buckets_per_query(query_vectors, meta, multiprobe_bits)
+    return sorted({b for probes in per_q.values() for b in probes})
 
 
 def lsh_topk_from_index(
@@ -174,23 +194,40 @@ def lsh_topk_from_index(
     query_vectors: pd.DataFrame,
     k: int = 10,
     multiprobe_bits: int = 1,
+    probe_scope: str = "per_query",
 ) -> DataFrame:
     """ANN top-k over a persisted LSH index: partition-pruned candidate
-    scan + exact cosine rerank. Result-identical to
-    ``similarity.lsh_cosine_topk`` at the same (nbits, seed, 1-bit
-    multiprobe) — the probe set and the rerank are the same math; only the
-    signature pass is amortized into the build."""
+    scan + exact cosine rerank.
+
+    probe_scope='per_query' (default, the scale path): ONE scan pruned to
+    the union of probe buckets, but each query is reranked only against
+    candidates from its OWN probe set (bucket → probing-queries broadcast
+    map inside the kernel), so served-batch cost is Σ_q |cands_q| — a
+    query in a 10k-query batch does not pay for the other 9 999 queries'
+    buckets. Result-identical to probing each query alone.
+
+    probe_scope='union': every query reranks the whole union candidate
+    set — result-identical to ``similarity.lsh_cosine_topk`` at the same
+    (nbits, seed, 1-bit multiprobe), whose candidate set is also the
+    batch union. Cost |∪ cands| × n_queries; fine for small batches."""
     meta = read_ann_meta(path)
     if meta.get("kind") != "lsh":
         raise ValueError(f"index at {path} is kind={meta.get('kind')!r}, not lsh")
-    probes = lsh_probe_buckets(query_vectors, meta, multiprobe_bits)
+    per_q = lsh_probe_buckets_per_query(query_vectors, meta, multiprobe_bits)
+    union = sorted({b for probes in per_q.values() for b in probes})
     idx = spark.read.parquet(path)
     # bucket is the hive partition column → this is directory-level pruning
-    cands = idx.filter(F.col("bucket").isin(probes)).select(
-        meta["id_col"], meta["vec_col"]
-    )
+    pruned = idx.filter(F.col("bucket").isin(union))
+    if probe_scope == "per_query":
+        return bucketed_cosine_topk(
+            pruned, query_vectors, per_q, k, meta["id_col"], meta["vec_col"],
+            bucket_col="bucket",
+        )
+    if probe_scope != "union":
+        raise ValueError(f"probe_scope must be per_query|union, got {probe_scope!r}")
     return brute_cosine_topk(
-        cands, query_vectors, k, meta["id_col"], meta["vec_col"]
+        pruned.select(meta["id_col"], meta["vec_col"]),
+        query_vectors, k, meta["id_col"], meta["vec_col"],
     )
 
 
@@ -200,9 +237,10 @@ def append_lsh_index(embeddings: DataFrame, path: str) -> dict:
     The seeded planes come from the index meta, so appended rows land in
     exactly the buckets a full rebuild would produce — build(A) then
     append(B) is query-identical to build(A ∪ B). Parquet append into the
-    bucket partitions; meta n_vectors updated atomically afterwards (a
-    killed append leaves extra rows but a truthful-enough meta is restored
-    by the next successful append's recount).
+    bucket partitions; meta n_vectors updated atomically afterwards by
+    adding the appended source's count (a killed append can leave rows the
+    meta doesn't count — harmless for querying; rebuild to restore an
+    exact meta).
 
     ANN analogue of the BM25 side's incremental segment ingest
     (streaming/incremental.py) — grow-only, no merge needed because
@@ -210,6 +248,9 @@ def append_lsh_index(embeddings: DataFrame, path: str) -> dict:
     meta = read_ann_meta(path)
     if meta.get("kind") != "lsh":
         raise ValueError(f"index at {path} is kind={meta.get('kind')!r}, not lsh")
+    # count the APPENDED source only (1:1 kernel): recounting the whole
+    # index would re-list up to 2^nbits bucket directories per append
+    n_new = embeddings.count()
     rows = _lsh_bucket_rows(
         embeddings, meta["dim"], meta["nbits"], meta["seed"],
         meta["id_col"], meta["vec_col"],
@@ -220,8 +261,7 @@ def append_lsh_index(embeddings: DataFrame, path: str) -> dict:
         .partitionBy("bucket")
         .parquet(path)
     )
-    spark = embeddings.sparkSession
-    meta["n_vectors"] = spark.read.parquet(path).count()
+    meta["n_vectors"] = meta["n_vectors"] + n_new
     _write_meta(path, meta)
     return meta
 
@@ -237,6 +277,7 @@ def append_ivf_index(embeddings: DataFrame, path: str) -> dict:
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     dim = meta["dim"]
     spark = embeddings.sparkSession
+    n_new = embeddings.count()  # 1:1 kernel — no full-index relisting below
     cent = np.array(meta["centroids"], dtype=np.float64)
     bc = spark.sparkContext.broadcast(cent)
 
@@ -263,7 +304,7 @@ def append_ivf_index(embeddings: DataFrame, path: str) -> dict:
         .partitionBy("cell")
         .parquet(path)
     )
-    meta["n_vectors"] = spark.read.parquet(path).count()
+    meta["n_vectors"] = meta["n_vectors"] + n_new
     _write_meta(path, meta)
     return meta
 
@@ -279,9 +320,15 @@ def build_ivf_index(
 ) -> dict:
     """Write an IVF index: parquet partitioned by ``cell``, centroids in
     meta (they ARE the trained model — unlike the LSH planes they cannot be
-    re-derived from a seed alone, since k-means sees the data)."""
+    re-derived from a seed alone, since k-means sees the data).
+
+    The coarse quantizer trains on a seeded content-hash sample
+    (seeded_vector_sample), not a head-of-corpus ``limit()`` slice: limit
+    takes whatever partitions return first, which at 100 TB means one
+    day's shard or one tenant trains every cell boundary. The hash sample
+    is uniform over the whole corpus and invariant to partition layout."""
     spark = embeddings.sparkSession
-    sample = embeddings.select(vec_col).limit(sample_size).toPandas()
+    sample = seeded_vector_sample(embeddings, sample_size, id_col, vec_col, seed)
     smat = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
     cent = _kmeans(smat, n_centroids, seed=seed)
     bc = spark.sparkContext.broadcast(cent)
@@ -296,6 +343,7 @@ def build_ivf_index(
             out["cell"] = (mat @ c.T).argmax(axis=1).astype("int32")
             yield out
 
+    n_vectors = embeddings.count()  # 1:1 kernel — no post-write relisting
     rows = embeddings.select(id_col, vec_col).mapInPandas(
         assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
     )
@@ -312,15 +360,18 @@ def build_ivf_index(
         "seed": seed,
         "id_col": id_col,
         "vec_col": vec_col,
-        "n_vectors": spark.read.parquet(path).count(),
+        "n_vectors": n_vectors,
         "centroids": cent.tolist(),
     }
     _write_meta(path, meta)
     return meta
 
 
-def ivf_probe_cells(query_vectors: pd.DataFrame, meta: dict, nprobe: int) -> list[int]:
-    """Driver-side probe set: each query's nprobe nearest centroid cells."""
+def ivf_probe_cells_per_query(
+    query_vectors: pd.DataFrame, meta: dict, nprobe: int
+) -> dict[str, list[int]]:
+    """Driver-side probe sets, one per query: the query's nprobe nearest
+    centroid cells."""
     cent = np.array(meta["centroids"], dtype=np.float64)
     qmat = _normalize(np.array(query_vectors["embedding"].tolist(), dtype=np.float64))
     if qmat.shape[1] != cent.shape[1]:
@@ -328,7 +379,16 @@ def ivf_probe_cells(query_vectors: pd.DataFrame, meta: dict, nprobe: int) -> lis
             f"query dim {qmat.shape[1]} != index dim {cent.shape[1]}"
         )
     order = (qmat @ cent.T).argsort(axis=1)[:, ::-1][:, :nprobe]
-    return sorted({int(c) for row in order for c in row})
+    return {
+        qid: sorted(int(c) for c in row)
+        for qid, row in zip(query_vectors["query_id"].tolist(), order)
+    }
+
+
+def ivf_probe_cells(query_vectors: pd.DataFrame, meta: dict, nprobe: int) -> list[int]:
+    """Union of the per-query probe sets (what the pruned scan filters on)."""
+    per_q = ivf_probe_cells_per_query(query_vectors, meta, nprobe)
+    return sorted({c for cells in per_q.values() for c in cells})
 
 
 def ivf_topk_from_index(
@@ -337,18 +397,31 @@ def ivf_topk_from_index(
     query_vectors: pd.DataFrame,
     k: int = 10,
     nprobe: int = 4,
+    probe_scope: str = "per_query",
 ) -> DataFrame:
     """ANN top-k over a persisted IVF index: partition-pruned scan of the
     probed cells + exact cosine rerank. nprobe = n_centroids probes every
-    cell (exact search, brute-force-oracle-checkable)."""
+    cell (exact search, brute-force-oracle-checkable).
+
+    probe_scope='per_query' (default): each query reranks only its own
+    nprobe cells' vectors — served-batch work is Σ_q |cands_q| (see
+    lsh_topk_from_index). 'union': every query scores the whole union
+    candidate set — the small-batch/legacy shape."""
     meta = read_ann_meta(path)
     if meta.get("kind") != "ivf":
         raise ValueError(f"index at {path} is kind={meta.get('kind')!r}, not ivf")
-    cells = ivf_probe_cells(query_vectors, meta, nprobe)
+    per_q = ivf_probe_cells_per_query(query_vectors, meta, nprobe)
+    union = sorted({c for cells in per_q.values() for c in cells})
     idx = spark.read.parquet(path)
-    cands = idx.filter(F.col("cell").isin(cells)).select(
-        meta["id_col"], meta["vec_col"]
-    )
+    pruned = idx.filter(F.col("cell").isin(union))
+    if probe_scope == "per_query":
+        return bucketed_cosine_topk(
+            pruned, query_vectors, per_q, k, meta["id_col"], meta["vec_col"],
+            bucket_col="cell",
+        )
+    if probe_scope != "union":
+        raise ValueError(f"probe_scope must be per_query|union, got {probe_scope!r}")
     return brute_cosine_topk(
-        cands, query_vectors, k, meta["id_col"], meta["vec_col"]
+        pruned.select(meta["id_col"], meta["vec_col"]),
+        query_vectors, k, meta["id_col"], meta["vec_col"],
     )

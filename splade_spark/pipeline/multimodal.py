@@ -125,7 +125,9 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     if x.dtype.kind == "f":
         x = (np.clip(x, -1.0, 1.0) * 32767.0).round().astype("<i2")
     else:
-        x = x.astype("<i2")
+        # clip integer inputs too: a bare int16 cast WRAPS out-of-range
+        # values (40000 → -25536), silently corrupting loud samples
+        x = np.clip(x.astype(np.int64), -32768, 32767).astype("<i2")
     nch = 1 if x.ndim == 1 else x.shape[1]
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
@@ -318,8 +320,17 @@ def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     a = a[:, :, :3]
     h, w, _ = a.shape
     gray = a.mean(axis=2)
-    ys = np.linspace(0, h, 5).astype(int)
-    xs = np.linspace(0, w, 5).astype(int)
+    # tiny images (any side < 4) would give duplicate linspace bin edges →
+    # empty pooling slices → NaN features; replicate-pad to >= 4 per side
+    # first (1x1/2x2 thumbnails are common in scraped corpora). The h/w
+    # features below keep the ORIGINAL dims.
+    if h < 4:
+        gray = np.repeat(gray, -(-4 // h), axis=0)
+    if w < 4:
+        gray = np.repeat(gray, -(-4 // w), axis=1)
+    gh, gw = gray.shape
+    ys = np.linspace(0, gh, 5).astype(int)
+    xs = np.linspace(0, gw, 5).astype(int)
     thumb = [
         gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
         for i in range(4)
@@ -375,21 +386,44 @@ def decode_asset(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     )
 
 
+# what a corrupt-but-magic-matching payload can raise out of the stdlib
+# decoders: truncated IDAT → zlib.error, corrupt WAV fmt → wave.Error,
+# short BMP/PNG headers → struct.error / ValueError / EOFError / IndexError
+_DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    zlib.error,
+    wave.Error,
+    struct.error,
+    EOFError,
+    IndexError,
+)
+
+
 def extract_features(
     assets: DataFrame,
     dim: int = FEATURE_DIM,
     decode_stub: bool = True,
     on_undecodable: str = "error",
+    skip_counter=None,
 ) -> DataFrame:
     """(asset_id, kind, feature array<double>): decode + feature-extract.
 
     decode_stub=True keeps the deterministic sha256-seeded fake (plumbing
     tests, format-free corpora). decode_stub=False runs the REAL stdlib
     decoders (WAV/BMP/PNG, sniffed from payload magic — see module
-    docstring); formats that need libjpeg/ffmpeg raise NotImplementedError
-    when on_undecodable='error', or are dropped from the output when
-    on_undecodable='skip' (the curation-pipeline shape: decode what you
-    can, count the rest)."""
+    docstring). Undecodable rows — unsupported container (needs
+    libjpeg/ffmpeg) OR corrupt payloads behind a valid magic (truncated
+    IDAT, broken fmt chunk, short header) — raise when
+    on_undecodable='error', or are dropped when on_undecodable='skip'
+    (the curation-pipeline shape: decode what you can, count the rest).
+
+    skip_counter: optional Spark accumulator
+    (``spark.sparkContext.accumulator(0)``) incremented per skipped row so
+    'count the rest' is a real number, not a diff of two counts. Standard
+    accumulator caveat applies: task retries can overcount — treat it as a
+    curation diagnostic, not an exact ledger (the exact ledger is
+    ``assets.count() - features.count()``)."""
     if on_undecodable not in ("error", "skip"):
         raise ValueError("on_undecodable must be 'error' or 'skip'")
 
@@ -406,13 +440,20 @@ def extract_features(
                 else:
                     try:
                         f = decode_asset(bytes(p), dim)
-                    except NotImplementedError:
+                    except _DECODE_ERRORS:
                         if on_undecodable == "skip":
+                            if skip_counter is not None:
+                                skip_counter.add(1)
                             continue
                         raise
                 ids.append(aid)
                 kinds.append(kind)
                 feats.append(f.tolist())
+            if not ids:
+                # an all-skipped batch must yield nothing: an empty pandas
+                # frame types 'feature' as float64, which Arrow cannot cast
+                # to list<double>
+                continue
             yield pd.DataFrame(
                 {"asset_id": ids, "kind": kinds, "feature": feats}
             )
@@ -458,11 +499,16 @@ def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
                 pdf["asset_id"], pdf["kind"], pdf["payload"]
             ):
                 b = bytes(p)
-                if b[:8] == _PNG_SIG:
-                    img, enc = decode_png(b), encode_png
-                elif b[:2] == b"BM":
-                    img, enc = decode_bmp(b), encode_bmp
-                else:
+                try:
+                    if b[:8] == _PNG_SIG:
+                        img, enc = decode_png(b), encode_png
+                    elif b[:2] == b"BM":
+                        img, enc = decode_bmp(b), encode_bmp
+                    else:
+                        continue
+                except _DECODE_ERRORS:
+                    # corrupt payload behind a valid magic (truncated IDAT,
+                    # short header): drop it, same contract as the sniff miss
                     continue
                 if img.ndim == 2:
                     img = img[:, :, None]

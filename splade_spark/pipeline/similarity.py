@@ -33,6 +33,37 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
+def seeded_vector_sample(
+    embeddings: DataFrame,
+    sample_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> pd.DataFrame:
+    """Deterministic, partition-order-invariant driver-side training sample.
+
+    Rows are ranked by a content hash of their id (xxhash64(id, seed)) and
+    the ``sample_size`` smallest are taken. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition partial top-k + driver merge, no
+    full sort shuffle — so at 100 TB the cost is one (id, vec) scan.
+
+    Why not ``df.sample(fraction, seed)``: Spark seeds its Bernoulli sampler
+    per PARTITION INDEX, so the chosen rows change whenever the input is
+    repartitioned or file-split differently — a quantizer trained on it is
+    layout-dependent. The hash rank depends only on row content, so the
+    sample (and any k-means trained on it) is identical across layouts.
+    Returned sorted by id for a stable row order (k-means centroid init
+    picks rows by position)."""
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(sample_size)
+        .toPandas()
+    )
+    return pdf.sort_values(id_col, ignore_index=True)
+
+
 def brute_cosine_topk(
     embeddings: DataFrame,
     query_vectors: pd.DataFrame,
@@ -75,6 +106,78 @@ def brute_cosine_topk(
             yield pd.concat(out, ignore_index=True)
 
     local = embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"query_id string, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def bucketed_cosine_topk(
+    candidates: DataFrame,
+    query_vectors: pd.DataFrame,
+    query_probes: dict[str, list[int]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact cosine top-k where each query only scores candidates in its
+    OWN probe buckets (``query_probes``: query_id → bucket/cell list).
+
+    This is the served-batch scale path: a union-probe rerank costs
+    |∪ candidates| × n_queries, so a 10k-query batch touching 10% of the
+    buckets reranks every query against ~10% of the corpus; here the work
+    is Σ_q |candidates_q| — each Arrow batch is grouped by its partition
+    key and matmul'ed only against the queries probing that key. A vector
+    lives in exactly one bucket (LSH) / cell (IVF), so no (query, vec)
+    pair is produced twice and no dedup pass is needed."""
+    spark = candidates.sparkSession
+    qids = query_vectors["query_id"].tolist()
+    qmat = _normalize(np.array(query_vectors["embedding"].tolist(), dtype=np.float64))
+    b2q: dict[int, list[int]] = {}
+    for qi, qid in enumerate(qids):
+        for b in query_probes[qid]:
+            b2q.setdefault(int(b), []).append(qi)
+    bq = spark.sparkContext.broadcast(
+        (qids, qmat, {b: np.asarray(v, dtype=np.int64) for b, v in b2q.items()})
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_, b2q_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for b, grp in pdf.groupby(bucket_col, sort=False):
+                qidx = b2q_.get(int(b))
+                if qidx is None:
+                    continue
+                ids = grp[id_col].to_numpy()
+                mat = _normalize(np.array(grp[vec_col].tolist(), dtype=np.float64))
+                sims = mat @ qmat_[qidx].T  # (bucket_rows, n_probing_queries)
+                kk = min(k, len(ids))
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                for col, qi in enumerate(qidx.tolist()):
+                    rows = top[:, col]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids_[qi],
+                                id_col: ids[rows],
+                                "cosine": sims[rows, col],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    local = candidates.select(id_col, vec_col, bucket_col).mapInPandas(
         kernel, schema=f"query_id string, {id_col} long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -228,9 +331,7 @@ def ivf_cosine_topk(
     batch) and a write partitioned by cell; queries touch nprobe cells —
     partition pruning does the rest."""
     spark = embeddings.sparkSession
-    sample = pd.DataFrame(
-        embeddings.select(vec_col).limit(sample_size).toPandas()
-    )
+    sample = seeded_vector_sample(embeddings, sample_size, id_col, vec_col, seed)
     smat = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
     cent = _kmeans(smat, n_centroids, seed=seed)
     bc = spark.sparkContext.broadcast(cent)

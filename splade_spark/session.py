@@ -30,6 +30,12 @@ def get_spark(
     named `local` rooted there (requires the iceberg-spark-runtime jar on
     the classpath — pass it via spark.jars.packages on a real cluster;
     index.build.iceberg_available() reports whether it loaded).
+
+    $SPLADE_ICEBERG_JAR: optional path to a vendored
+    iceberg-spark-runtime jar. When set and present, it is added to
+    spark.jars so the Iceberg code path (and its round-trip test) runs
+    without network ivy — the sandbox has no jar and no way to fetch one,
+    so this is the hook that closes the gap the day a jar exists.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or 0
@@ -58,6 +64,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    jar = os.environ.get("SPLADE_ICEBERG_JAR")
+    if jar and os.path.exists(jar):
+        builder = builder.config("spark.jars", jar)
     if iceberg_warehouse:
         builder = (
             builder.config(

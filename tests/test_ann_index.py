@@ -61,11 +61,22 @@ def _key(rows):
 
 
 def test_lsh_served_matches_per_call(spark, emb, qvecs, lsh_path):
-    """Same (nbits, seed, 1-bit multiprobe) → bit-same probe set and exact
-    rerank; only the signature pass is amortized into the build."""
-    served = lsh_topk_from_index(spark, lsh_path, qvecs, k=5, multiprobe_bits=1)
+    """probe_scope='union' reproduces the per-call batch exactly (same
+    union probe set, same rerank math); the default per_query scope must
+    equal running each query ALONE through the per-call path — each query
+    sees only its own probe buckets, by construction."""
+    served_union = lsh_topk_from_index(
+        spark, lsh_path, qvecs, k=5, multiprobe_bits=1, probe_scope="union"
+    )
     percall = lsh_cosine_topk(emb, qvecs, k=5, nbits=10)
-    assert _key(served.collect()) == _key(percall.collect())
+    assert _key(served_union.collect()) == _key(percall.collect())
+
+    served_pq = lsh_topk_from_index(spark, lsh_path, qvecs, k=5, multiprobe_bits=1)
+    singles = []
+    for i in range(len(qvecs)):
+        one = qvecs.iloc[[i]].reset_index(drop=True)
+        singles.extend(lsh_cosine_topk(emb, one, k=5, nbits=10).collect())
+    assert _key(served_pq.collect()) == _key(singles)
 
 
 def test_lsh_meta_roundtrip(lsh_path, emb):
@@ -113,11 +124,42 @@ def test_kind_guard(spark, lsh_path, ivf_path, qvecs):
 
 
 def test_ivf_served_matches_per_call(spark, emb, qvecs, ivf_path):
-    served = ivf_topk_from_index(spark, ivf_path, qvecs, k=5, nprobe=3)
+    served = ivf_topk_from_index(
+        spark, ivf_path, qvecs, k=5, nprobe=3, probe_scope="union"
+    )
     percall = ivf_cosine_topk(
         emb, qvecs, k=5, n_centroids=8, nprobe=3, sample_size=100_000
     )
     assert _key(served.collect()) == _key(percall.collect())
+
+    served_pq = ivf_topk_from_index(spark, ivf_path, qvecs, k=5, nprobe=3)
+    singles = []
+    for i in range(len(qvecs)):
+        one = qvecs.iloc[[i]].reset_index(drop=True)
+        singles.extend(
+            ivf_cosine_topk(
+                emb, one, k=5, n_centroids=8, nprobe=3, sample_size=100_000
+            ).collect()
+        )
+    assert _key(served_pq.collect()) == _key(singles)
+
+
+def test_ivf_training_sample_partition_invariant(spark, emb):
+    """The coarse quantizer must not depend on input partition layout: the
+    content-hash sample (seeded_vector_sample) picks the same rows whether
+    the corpus arrives as 1 partition or hash-partitioned into 7 — unlike
+    limit()/df.sample(), both of which are layout-dependent."""
+    from splade_spark.pipeline.similarity import seeded_vector_sample
+
+    a = seeded_vector_sample(emb.coalesce(1), 40)
+    b = seeded_vector_sample(emb.repartition(7, "vec_id"), 40)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert a["embedding"].map(tuple).tolist() == b["embedding"].map(tuple).tolist()
+    # and it is a genuine subset, not a head slice
+    assert len(a) == 40
+    assert a["vec_id"].tolist() != sorted(
+        emb.select("vec_id").toPandas()["vec_id"]
+    )[:40]
 
 
 def test_ivf_full_probe_is_exact(spark, emb, qvecs, ivf_path):
@@ -183,7 +225,11 @@ def test_cli_ann_build_query(spark, emb, qvecs, tmp_path):
              "--out", rdir, "--k", "5", "--nprobe", "8"]
         ) == 0
         res = spark.read.parquet(rdir)
-        assert res.count() == 15 and res.filter("rank > 5").count() == 0
+        # per-query probing can surface fewer than k candidates for a
+        # query whose own buckets are sparse — never more than k per query
+        assert 0 < res.count() <= 15 and res.filter("rank > 5").count() == 0
+        per_q = res.groupBy("query_id").count().collect()
+        assert len(per_q) == 3 and all(r["count"] <= 5 for r in per_q)
     cli_lsh = spark.read.parquet(str(tmp_path / "res_lsh"))
     lib = lsh_topk_from_index(
         spark, str(tmp_path / "cli_lsh"), qvecs, k=5, multiprobe_bits=1

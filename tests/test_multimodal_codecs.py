@@ -139,12 +139,73 @@ def test_resize_images_real_pixels(spark):
         assert abs(r.width / r.height - w0 / h0) < 0.2
 
 
-def test_resize_is_identity_when_smaller_than_max():
+def test_resize_is_identity_when_smaller_than_max(spark):
+    """An image already under max_side must come back bit-identical through
+    the full Spark resize kernel (scale clamps to 1.0 → bilinear at the
+    source grid → same pixels → same PNG/BMP payload pixels)."""
     rng = np.random.default_rng(5)
-    img = _rand_img(rng, 10, 14)
-    # bilinear with identical target dims must reproduce the source exactly
-    from splade_spark.pipeline import multimodal as mm
+    img_png = _rand_img(rng, 10, 14)
+    img_bmp = _rand_img(rng, 9, 6)
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_png(img_png)), {}),
+            (2, "image", bytearray(encode_bmp(img_bmp)), {}),
+        ],
+        "asset_id long, kind string, payload binary, meta map<string,string>",
+    )
+    out = {r.asset_id: r for r in resize_images(assets, max_side=64).collect()}
+    assert (out[1].width, out[1].height) == (14, 10)
+    assert (out[2].width, out[2].height) == (6, 9)
+    assert np.array_equal(decode_png(bytes(out[1].payload)), img_png)
+    assert np.array_equal(decode_bmp(bytes(out[2].payload)), img_bmp)
 
-    payload = encode_png(img)
-    dec = decode_png(payload)
-    assert np.array_equal(dec, img)
+
+def test_corrupt_payloads_skip_and_count(spark):
+    """Corrupt payloads behind VALID magic bytes (truncated PNG IDAT,
+    broken WAV) must not crash skip mode — they are dropped and counted
+    via the optional accumulator; error mode still raises."""
+    rng = np.random.default_rng(6)
+    good = encode_png(_rand_img(rng, 8, 8))
+    bad_png = good[:40] + b"\x00" * 10  # valid sig, truncated/garbled IDAT
+    bad_wav = encode_wav(np.zeros(50, dtype=np.int16))[:20]  # RIFF, cut fmt
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good), {}),
+            (2, "image", bytearray(bad_png), {}),
+            (3, "audio", bytearray(bad_wav), {}),
+        ],
+        "asset_id long, kind string, payload binary, meta map<string,string>",
+    )
+    ctr = spark.sparkContext.accumulator(0)
+    feats = extract_features(
+        assets, decode_stub=False, on_undecodable="skip", skip_counter=ctr
+    ).collect()
+    assert [r.asset_id for r in feats] == [1]
+    assert ctr.value == 2  # 'count the rest' is a real number
+    with pytest.raises(Exception):
+        extract_features(assets, decode_stub=False).collect()
+    # resize also survives the corrupt rows: only the good image returns
+    resized = resize_images(assets, max_side=4).collect()
+    assert [r.asset_id for r in resized] == [1]
+
+
+def test_tiny_image_features_are_finite():
+    """1x1 and 2x2 images (common scraped-thumbnail degenerates) must not
+    produce NaN pooling features: the 4x4 thumbnail pools over a
+    replicate-padded grid while the h/w features keep the true dims."""
+    for h, w in [(1, 1), (2, 2), (1, 5), (3, 2)]:
+        img = np.full((h, w, 3), 100, dtype=np.uint8)
+        f = image_features(img)
+        assert np.isfinite(f).all(), (h, w)
+        assert f[0] == h and f[1] == w
+        # flat image → every pooled cell equals the pixel value
+        assert f[10:26] == pytest.approx([100.0] * 16)
+
+
+def test_encode_wav_clips_out_of_range_ints():
+    """Out-of-range int samples must clip, not wrap (40000 → 32767, not
+    -25536); in-range samples stay exact."""
+    x = np.array([40000, -40000, 1234, -32768, 32767], dtype=np.int64)
+    rate, dec = decode_wav(encode_wav(x, rate=8000))
+    got = (dec * 32768.0).round().astype(np.int64)
+    assert got.tolist() == [32767, -32768, 1234, -32768, 32767]
