@@ -1,5 +1,9 @@
 #!/usr/bin/env python3
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints a compact JSON headline snapshot after EVERY
+phase (the last stdout line is always current and parseable) and keeps
+BENCH_DETAIL.json rewritten alongside; a wall-clock budget
+($SPLADE_BENCH_BUDGET_SEC) drops optional phases so the run finishes inside
+the driver's limit instead of being killed mid-phase.
 
 Headline suite (at $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1, on
 local[$SPARK_GRAFT_CPUS]):
@@ -168,6 +172,9 @@ def _mk_cluster(nexec: int, cores_per: int, app: str, pyzip: str,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
+        # no console progress bars: if the driver's capture merges stderr,
+        # bar redraws would crowd the headline snapshot out of the ~2 KB tail
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 
@@ -187,6 +194,7 @@ def _mk_spark(cores: int, app: str):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 
@@ -293,9 +301,15 @@ def _leg_main(args_path: str, out_path: str) -> None:
     busy0 = _settle()
     load0 = os.getloadavg()[0]
     # tmpfs shuffle scratch for the leg — the sandbox stand-in for the
-    # per-node shuffle disks a real cluster scales with (see _mk_cluster)
+    # per-node shuffle disks a real cluster scales with (see _mk_cluster).
+    # Capacity-gated: the leg's footprint (4x-weights index sink + shuffle
+    # blocks + spill) is a few GB; on a box with a small or crowded
+    # /dev/shm, opting in anyway would fail the leg (ENOSPC) or silently
+    # distort it (writeback throttling) — fall back to disk and say so in
+    # the leg record instead.
     shm_dir = None
-    if os.path.isdir("/dev/shm"):
+    shm_min = int(os.environ.get("SPLADE_BENCH_SHM_MIN_BYTES", str(6 << 30)))
+    if os.path.isdir("/dev/shm") and shutil.disk_usage("/dev/shm").free >= shm_min:
         shm_dir = tempfile.mkdtemp(prefix="splade_leg_shuffle_", dir="/dev/shm")
         # standalone-style workers take SPARK_LOCAL_DIRS over the
         # spark.local.dir conf (Spark warns so at launch); local-cluster
@@ -352,6 +366,7 @@ def _leg_main(args_path: str, out_path: str) -> None:
                 "query_batch_secs": [round(q, 3) for q in qsecs],
                 "loadavg_at_start": round(load0, 2),
                 "busy_frac_at_start": round(busy0, 3),
+                "shuffle_dir": "tmpfs" if shm_dir else "disk",
                 "stage_wall": job["stage_wall"],
             },
             fh,
@@ -589,29 +604,150 @@ def _merge_bench(spark, transcripts_path: str, num_shards: int) -> tuple[float, 
 
 
 def main() -> None:
+    """Phase-structured run with INCREMENTAL emission and a wall-clock
+    budget — the round-4 artifact died because everything (headline line +
+    BENCH_DETAIL.json) was written only at the very end of a monolithic run
+    that outgrew the driver's time limit (BENCH_r04.json rc 124,
+    parsed: null — zero recorded perf evidence for the round).
+
+    Structure:
+      * after EVERY phase, BENCH_DETAIL.json is rewritten atomically and a
+        fresh <=1.5 KB headline snapshot line (with phases_done) is printed
+        to stdout — the driver keeps the tail, so a kill at ANY point still
+        yields a parseable artifact carrying everything completed so far;
+      * a SIGTERM/SIGINT handler emits one final snapshot and exits 0
+        immediately, before JVM-teardown noise can land in the tail;
+      * $SPLADE_BENCH_BUDGET_SEC (default 1800, well under the driver's
+        limit) is checked before each OPTIONAL phase; phases run in
+        descending evidence value so budget exhaustion drops the least
+        valuable work: bm25_batch5000 and the ANN-served 4x leg run early
+        (cheap, inline with their sessions), then the sf-sweep legs
+        (engine, dedup, merge — the 10x linearity evidence), then scale
+        round 3 (min-of-2 rounds is still a valid estimator), then the
+        ceiling calibration; the graded scaling rounds 1-2, the headline,
+        and merge/suite/ANN-1x are never dropped;
+      * the sf sweep no longer rebuilds the 1x engine and 1x merge: the
+        headline phase's numbers are the 1x rows (identical config, minutes
+        apart; phase busy-fractions are recorded so a reader can judge
+        tenancy comparability) — only the 10x legs and the cheap adjacent
+        dedup pairs run in the sweep itself.
+    """
+    import signal
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     n_conv = max(200, int(40000 * sf))
     num_shards = max(cpus, 16)
+    budget = float(os.environ.get("SPLADE_BENCH_BUDGET_SEC", "1800"))
+    RESERVE = 75.0  # always keep room for cleanup + the final emit
 
     timings: dict[str, float] = {}
     extra: dict = {}
     total_t0 = time.time()
     phase_wall: dict[str, float] = {}
+    phases_done: list[str] = []
+    skipped: list[str] = []
     _last_mark = [total_t0]
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+
+    def _left() -> float:
+        return budget - (time.time() - total_t0)
+
+    def _fits(name: str, est_sec: float) -> bool:
+        """Budget gate for an optional phase: run only if the estimated
+        cost plus the final-emit reserve still fits. A skipped phase is
+        recorded — silent truncation would read as 'covered everything'."""
+        if _left() > est_sec + RESERVE:
+            return True
+        skipped.append(name)
+        return False
+
+    def _snapshot() -> dict:
+        head = {
+            "metric": "splade_spark_bench_total",
+            "value": round(time.time() - total_t0, 3),
+            "unit": "sec",
+            "queries": dict(timings),
+            "sf": sf,
+            "phases_done": list(phases_done),
+        }
+        if "index_postings_per_sec" in extra:
+            head["postings_per_sec"] = extra["index_postings_per_sec"]
+        sc = extra.get("scaling", {})
+        for k in ("efficiency_build", "efficiency_encode", "efficiency_query"):
+            if k in sc:
+                head[k] = sc[k]
+        if "rounds" in sc:
+            head["scale_rounds_done"] = sc["rounds"]
+        if "machine_parallel_ceiling" in sc:
+            head["machine_parallel_ceiling"] = sc["machine_parallel_ceiling"]
+        lin = extra.get("sweep", {}).get("linearity")
+        if lin:
+            head["sweep_x10_linearity"] = lin
+        if skipped:
+            head["skipped"] = list(skipped)
+        head["detail"] = "BENCH_DETAIL.json"
+        return head
+
+    def _emit() -> None:
+        """Rewrite the detail sidecar and print a fresh compact headline
+        snapshot — called after every phase so the LAST stdout line is
+        always a parseable, current summary."""
+        detail = {**_snapshot(), **extra, "phase_wall": phase_wall}
+        tmp = detail_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        os.replace(tmp, detail_path)
+        head = _snapshot()
+        line = json.dumps(head)
+        if len(line) > 1500:  # hard budget: never outgrow the tail window
+            for k in sorted(timings, key=lambda k: timings[k]):
+                head["queries"].pop(k, None)
+                line = json.dumps(head)
+                if len(line) <= 1500:
+                    break
+        print(flush=True)  # clean break from any progress-bar remnants
+        print(line, flush=True)
 
     def _mark(name: str) -> None:
         now = time.time()
         phase_wall[name] = round(now - _last_mark[0], 1)
         _last_mark[0] = now
+        phases_done.append(name)
+        _emit()
+
+    def _on_term(signum, frame):
+        # the driver kills on its wall clock with SIGTERM-then-SIGKILL:
+        # emit a final snapshot NOW and exit before executor-shutdown
+        # stack traces can push the snapshot out of the captured tail
+        try:
+            skipped.append(f"killed_by_signal_{signum}")
+            _emit()
+        finally:
+            os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    # rough per-phase cost estimates (sec) for the budget gates, from the
+    # committed BENCH_DETAIL.json phase walls at sf0.1 on this box
+    EST_BATCH5000 = 150.0
+    EST_ANN4X = 240.0
+    EST_ANN_BATCH1000 = 120.0
+    EST_CEILING = 120.0
+    EST_SWEEP_ENGINE = 420.0
+    EST_SWEEP_DEDUP = 420.0
+    EST_SWEEP_MERGE = 600.0
 
     # materialize deterministic inputs once, in a SUBPROCESS: every leg
     # reads the SAME stored input (true same-input comparison, generation
     # excluded), and the generation job's JVM-heap/worker history dies with
     # the subprocess instead of polluting this process's later phases (a
     # committed-multi-GB driver gateway measurably slows every subsequent
-    # in-process Spark phase — see _scale_leg's rationale)
+    # in-process Spark phase — see _run_sub's rationale)
     tdir = tempfile.mkdtemp(prefix="splade_bench_t_")
     n_conv_scale = min(40000, max(10 * n_conv, 1500))
     _run_sub(
@@ -633,8 +769,7 @@ def main() -> None:
     # 500 queries against the 4x index carry the same total kernel work as
     # round 3's 2000 queries against the 1x index (each query now scans 4x
     # the postings), keeping fixed per-stage cost <5% of the leg's signal
-    # without quadrupling leg wall time (a 2000-query batch on the 4x index
-    # made each narrow leg ~15 min and the whole bench ~2.5 h)
+    # without quadrupling leg wall time
     N_SCALE_QUERIES = 500
 
     def _scale_leg(label: str, nexec: int) -> dict:
@@ -658,10 +793,8 @@ def main() -> None:
                 # weights (~4x headline postings): at 1x the wide width
                 # finishes the CPU work so fast that the ~5 s of fixed cost
                 # (plan, commit, JVM ramp) dominates its build_sec and
-                # deflates the ratio — the same dilution the encode leg was
-                # given the 4x table to escape (measured at 1x: 4n build
-                # ~7-10 s of which most is fixed; n ~20 s). One table also
-                # means one cache fill per leg instead of two.
+                # deflates the ratio. One table also means one cache fill
+                # per leg instead of two.
                 "encode_input": tdir + "/scale_w4",
                 "weights_input": tdir + "/scale_w4",
                 "num_shards": num_shards,
@@ -669,31 +802,107 @@ def main() -> None:
             },
         )
 
-    SCALE_ROUNDS = 3
     reps: dict[str, list[dict]] = {"n": [], "4n": []}
-
     round_no = [0]
+    round_walls: list[float] = []
+    ceiling_holder: list[float] = []
+
+    def _mins(rep_list: list[dict]) -> dict:
+        return {
+            k: min(r[k] for r in rep_list)
+            for k in ("build_sec", "pipeline_sec", "encode_sec",
+                      "query_batch_sec")
+        }
+
+    def _update_scaling() -> None:
+        """Recompute the scaling block from every round finished SO FAR —
+        called after each round so a kill mid-run still leaves the latest
+        graded efficiencies in the last emitted snapshot. min over the
+        interleaved rounds is the estimator for what the job costs when
+        the machine isn't busy elsewhere."""
+        if not (reps["n"] and reps["4n"]):
+            return
+        scaling: dict = {}
+        for label, nexec in [("n", lo), ("4n", hi)]:
+            p = reps[label][0]["postings"]
+            ep = reps[label][0]["encode_postings"]
+            best = _mins(reps[label])
+            scaling[label] = {
+                "executors": nexec,
+                "cores_per_executor": cores_per,
+                "build_sec": round(best["build_sec"], 3),
+                "pipeline_sec": round(best["pipeline_sec"], 3),
+                "postings_per_sec": round(p / best["build_sec"], 1),
+                "encode_sec": round(best["encode_sec"], 3),
+                "encode_postings": ep,
+                "encode_postings_per_sec": round(ep / best["encode_sec"], 1),
+                "query_batch_sec": round(best["query_batch_sec"], 3),
+                "queries_per_sec": round(
+                    N_SCALE_QUERIES / best["query_batch_sec"], 1
+                ),
+                "loadavg_at_samples": [
+                    r["loadavg_at_start"] for r in reps[label]
+                ],
+                "busy_frac_at_samples": [
+                    r["busy_frac_at_start"] for r in reps[label]
+                ],
+                "shuffle_dirs": [r.get("shuffle_dir") for r in reps[label]],
+            }
+        # raw efficiencies: measured narrow-vs-wide throughput ratio, no
+        # normalization — THESE are the pass/fail numbers for the >=0.8 rule
+        bn, b4 = _mins(reps["n"]), _mins(reps["4n"])
+        ratio = hi / lo
+        scaling["efficiency_build"] = round(
+            bn["build_sec"] / (b4["build_sec"] * ratio), 3
+        )
+        scaling["efficiency_encode"] = round(
+            bn["encode_sec"] / (b4["encode_sec"] * ratio), 3
+        )
+        scaling["efficiency_query"] = round(
+            bn["query_batch_sec"] / (b4["query_batch_sec"] * ratio), 3
+        )
+        scaling["rounds"] = min(len(reps["n"]), len(reps["4n"]))
+        # full per-round samples: the min-based efficiencies above are the
+        # graded numbers; the raw spread shows how much external tenancy
+        # the min had to reject (this box shares physical hardware — bursts
+        # appear mid-leg without any warning a start-of-leg gate can catch)
+        scaling["rounds_raw"] = reps
+        scaling["graded_metric"] = (
+            "raw efficiency_encode / efficiency_query / efficiency_build are "
+            "the pass/fail numbers; *_vs_ceiling values are diagnostic "
+            "context only"
+        )
+        if ceiling_holder:
+            c = ceiling_holder[0]
+            scaling["machine_parallel_ceiling"] = c
+            for kname in ("efficiency_build", "efficiency_encode",
+                          "efficiency_query"):
+                scaling[kname + "_vs_ceiling"] = round(scaling[kname] / c, 3)
+        extra["scaling"] = scaling
 
     def _run_scale_round() -> None:
         # alternate which width goes first: any residual environment drift
         # within a round (page-cache state, decaying background work the
         # settle gate's threshold admits) then lands on BOTH widths across
-        # the three rounds instead of always on the same one
+        # the rounds instead of always on the same one
+        r0 = time.time()
         order = [("n", lo), ("4n", hi)]
         if round_no[0] % 2 == 1:
             order.reverse()
         round_no[0] += 1
         for label, nexec in order:
             reps[label].append(_scale_leg(label, nexec))
+        round_walls.append(time.time() - r0)
+        _update_scaling()
 
     _mark("generate_inputs")
-    _run_scale_round()  # scaling round 1 of 3
+    _run_scale_round()  # scaling round 1 (never dropped)
     _mark("scale_round_1")
     spark = _mk_spark(cpus, "splade_bench_a")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # --- engine: build + query at full parallelism -------------------------
-    _settle()  # don't time the headline against the scale legs' shutdown
+    # --- engine: build + query at full parallelism (never dropped) ----------
+    _settle(timeout_s=60)  # don't time the headline against leg shutdown
     job = _engine_job(spark, tdir + "/head", num_shards)
     timings["index_build"] = round(job["build_sec"], 3)
     timings["index_pipeline"] = round(job["pipeline_sec"], 3)
@@ -713,8 +922,15 @@ def main() -> None:
     timings["bm25_single_query_p95"] = round(
         sl[min(len(sl) - 1, math.ceil(0.95 * len(sl)) - 1)], 3
     )
+    # the sweep's 1x engine rows (see sweep_engine_10x below)
+    head_engine = {
+        "postings": job["postings"],
+        "pipeline_sec": timings["index_pipeline"],
+        "build_sec": timings["index_build"],
+        "query_p50_sec": timings["bm25_query_p50"],
+    }
 
-    # --- batch-size scaling evidence: 500 vs 5000 queries -------------------
+    # --- batch-size scaling evidence: 500 (always) vs 5000 (optional) -------
     # the retrieval kernel loops queries × shards in Python with a shared
     # per-shard decode cache; queries/sec at a 10x batch must stay within
     # 2x of linear from the 500-query point (broadcast size and per-shard
@@ -727,7 +943,10 @@ def main() -> None:
     # executor-memory footprint
     job["release_serving"]()
     batch_scaling = {}
-    for nq in (500, 5000):
+    batch_sizes = [500]
+    if _fits("bm25_batch5000", EST_BATCH5000):
+        batch_sizes.append(5000)
+    for nq in batch_sizes:
         qt_big = (
             _qtf(_qdf(spark, nq)).select("query_id", "term_id", "qtf").toPandas()
         )
@@ -739,25 +958,26 @@ def main() -> None:
         batch_scaling[str(nq)] = {
             "sec": round(bsec, 3), "queries_per_sec": round(nq / bsec, 1),
         }
-    batch_scaling["qps_ratio_5000_vs_500"] = round(
-        batch_scaling["5000"]["queries_per_sec"]
-        / batch_scaling["500"]["queries_per_sec"],
-        3,
-    )
+    if "5000" in batch_scaling:
+        batch_scaling["qps_ratio_5000_vs_500"] = round(
+            batch_scaling["5000"]["queries_per_sec"]
+            / batch_scaling["500"]["queries_per_sec"],
+            3,
+        )
     extra["batch_scaling"] = batch_scaling
 
     spark.stop()
     _mark("headline_and_batch")
-    _run_scale_round()  # scaling round 2 of 3
+    _run_scale_round()  # scaling round 2 (never dropped)
     _mark("scale_round_2")
     spark = _mk_spark(cpus, "splade_bench_b")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # --- segment merge throughput -------------------------------------------
+    # --- segment merge throughput (1x — also the sweep's 1x merge row) ------
     # two docID-disjoint half-corpus segments folded into one index; the
     # streaming re-encode must not degrade with many tiny (shard, term)
     # groups (this corpus's Zipf tail IS mostly tiny groups)
-    _settle()
+    _settle(timeout_s=60)
     merge_sec, merge_postings_n = _merge_bench(spark, tdir + "/head", num_shards)
     timings["segment_merge"] = round(merge_sec, 3)
     extra["merge_postings_per_sec"] = round(merge_postings_n / merge_sec, 1)
@@ -769,7 +989,6 @@ def main() -> None:
         # production config (xxhash64 base, hashed buckets) — the harness
         # q_minhash_dups runs the SQL-reproducible polyhash variant for the
         # oracle; throughput is graded on the default
-        from pyspark.sql import functions as F
         from splade_spark.pipeline.dedup import minhash_dedup_pairs
 
         return minhash_dedup_pairs(
@@ -893,25 +1112,31 @@ def main() -> None:
     # --- persisted-ANN serving: build-once index vs per-call rescan --------
     # the per-call path re-hashes the WHOLE corpus per query batch; the
     # persisted index reads only the probed bucket partitions. Evidence at
-    # 1x and 4x corpus: served latency must beat per-call at both sizes and
-    # grow slower (its scan is probe-selectivity-bound, not corpus-bound —
-    # the candidate fraction is reported so the claim is checkable)
+    # 1x corpus always; the 4x leg (growth-slope evidence: served latency
+    # must grow slower than per-call, its scan being probe-selectivity-
+    # bound, not corpus-bound) is budget-optional.
     from pyspark.sql import functions as _F
 
     from splade_spark.pipeline.ann_index import (
         build_lsh_index, lsh_probe_buckets, lsh_topk_from_index, read_ann_meta,
     )
 
-    corpus4 = corpus
-    for i in range(1, 4):
-        corpus4 = corpus4.unionByName(
-            corpus.withColumn("vec_id", _F.col("vec_id") + _F.lit(i * 4_000_000))
-        )
-    corpus4 = corpus4.cache()
-    corpus4.count()
     served: dict = {"nbits": 12, "multiprobe_bits": 1}
-    for label, cdf in (("1x", corpus), ("4x", corpus4)):
+    served_legs = [("1x", corpus)]
+    corpus4 = None
+    if _fits("ann_served_4x", EST_ANN4X):
+        corpus4 = corpus
+        for i in range(1, 4):
+            corpus4 = corpus4.unionByName(
+                corpus.withColumn("vec_id", _F.col("vec_id") + _F.lit(i * 4_000_000))
+            )
+        corpus4 = corpus4.cache()
+        corpus4.count()
+        served_legs.append(("4x", corpus4))
+    ipaths: dict[str, str] = {}
+    for label, cdf in served_legs:
         ipath = tempfile.mkdtemp(prefix=f"splade_ann_srv_{label}_") + "/lsh"
+        ipaths[label] = ipath
         _TMP_DIRS.append(os.path.dirname(ipath))
         b0 = time.time()
         build_lsh_index(cdf, ipath, nbits=12, dim=int(base.shape[1]))
@@ -936,241 +1161,195 @@ def main() -> None:
             "candidate_frac": round(n_cand / meta["n_vectors"], 4),
             "probed_buckets": len(probes),
         }
-    served["served_growth_4x"] = round(
-        served["4x"]["served_sec"] / served["1x"]["served_sec"], 3
-    )
-    served["per_call_growth_4x"] = round(
-        served["4x"]["per_call_sec"] / served["1x"]["per_call_sec"], 3
-    )
+    if "4x" in served:
+        served["served_growth_4x"] = round(
+            served["4x"]["served_sec"] / served["1x"]["served_sec"], 3
+        )
+        served["per_call_growth_4x"] = round(
+            served["4x"]["per_call_sec"] / served["1x"]["per_call_sec"], 3
+        )
+
+    # --- served-batch scope: 1000 queries, per-query vs union rerank --------
+    # at 1000 queries the probe union covers most buckets, so the union
+    # scope reranks every query against ~the whole corpus (|∪ cands| × Q)
+    # while the per-query scope's rerank work stays Σ_q |cands_q| — the
+    # batch-cost shape that must hold at 100 TB. Results are identical by
+    # construction (probe_scope is tested rank-identical); only cost moves.
+    if _fits("ann_batch1000", EST_ANN_BATCH1000):
+        blabel = "4x" if "4x" in ipaths else "1x"
+        bpath = ipaths[blabel]
+        nq_b = 1000
+        qv_big = _pd.DataFrame(
+            {
+                "query_id": [f"q{i}" for i in range(nq_b)],
+                "embedding": [
+                    base[i % len(base)].tolist() for i in range(nq_b)
+                ],
+            }
+        )
+        scope_row: dict = {"n_queries": nq_b, "index": blabel}
+        for scope in ("per_query", "union"):
+            lsh_topk_from_index(
+                spark, bpath, qv_big, k=10, probe_scope=scope
+            ).count()  # warm
+            t0 = time.time()
+            lsh_topk_from_index(
+                spark, bpath, qv_big, k=10, probe_scope=scope
+            ).count()
+            scope_row[f"{scope}_sec"] = round(time.time() - t0, 3)
+        scope_row["union_over_per_query"] = round(
+            scope_row["union_sec"] / scope_row["per_query_sec"], 2
+        )
+        served["batch1000"] = scope_row
+        timings["ann_batch1000_per_query"] = scope_row["per_query_sec"]
     ann["served"] = served
     timings["ann_lsh_served"] = served["1x"]["served_sec"]
-    corpus4.unpersist()
+    if corpus4 is not None:
+        corpus4.unpersist()
     corpus.unpersist()
     extra["ann"] = ann
     _mark("merge_suite_ann")
 
-    # --- sf sweep: same ops on 1x vs 10x input at the same parallelism ------
+    # --- sf sweep: 10x legs vs the headline's 1x rows ------------------------
     # the strongest sandbox evidence for the 100x claim: per-op cost must be
     # near-linear in input size (linearity = (t_10x / t_1x) / size_factor;
     # 1.0 = perfectly linear, <= 2 is the target; sublinear values mean
     # fixed per-job cost still dominates the small leg, or — for query —
-    # block-max pruning doing its job). BOTH sizes are measured here,
-    # back-to-back in this one phase: the validation run showed that
-    # reusing the headline phase's 1x numbers compares across tenancy
-    # regimes and can invert the ratio entirely.
-    # OP-MAJOR ordering: the 1x and 10x samples of each op run adjacently
-    # (the first recorded run interleaved whole size-sections; a
-    # multi-minute tenancy burst covering one section inverted the merge
-    # ratio 3x). A burst can still land inside one op pair, but the
-    # exposure window per ratio drops from the whole section to one op.
-    _settle()
+    # block-max pruning doing its job). The 1x engine/merge rows REUSE the
+    # headline phase's numbers (identical session config, minutes apart —
+    # rebuilding them here cost round 4 two extra engine builds + a full
+    # extra merge bench and pushed the run past the driver's limit; the
+    # busy-fraction record lets a reader judge the tenancy comparability
+    # this trades away). The dedup pairs are cheap at 1x and stay adjacent.
     sweep: dict = {}
-    eng: dict = {"postings": [], "pipeline_sec": [], "build_sec": [],
-                 "query_p50_sec": [], "merge_sec": [], "merge_postings": []}
-    jobs = []
-    for tpath in (tdir + "/head", tdir + "/scale"):  # build 1x, build 10x
-        jb = _engine_job(spark, tpath, num_shards)
-        jobs.append(jb)
-        eng["postings"].append(jb["postings"])
-        eng["pipeline_sec"].append(round(jb["pipeline_sec"], 3))
-        eng["build_sec"].append(round(jb["build_sec"], 3))
-    for jb in jobs:  # query 1x, query 10x
+    extra["sweep"] = sweep
+    if _fits("sweep_engine_10x", EST_SWEEP_ENGINE):
+        _settle(timeout_s=60)
+        jb = _engine_job(spark, tdir + "/scale", num_shards)
         lats = []
         for _ in range(3):
             q0 = time.time()
             jb["query_once"]()
             lats.append(time.time() - q0)
         lats.sort()
-        eng["query_p50_sec"].append(round(lats[len(lats) // 2], 3))
         jb["release_serving"]()
-    for tpath in (tdir + "/head", tdir + "/scale"):  # merge 1x, merge 10x
-        msec, mn = _merge_bench(spark, tpath, num_shards)
-        eng["merge_sec"].append(round(msec, 3))
-        eng["merge_postings"].append(mn)
-    sweep.update(eng)
-    factor = round(eng["postings"][1] / max(eng["postings"][0], 1), 2)
-    sweep["size_factor_postings"] = factor
+        sweep["one_x_source"] = "headline phase (build/pipeline/query/merge)"
+        sweep["postings"] = [head_engine["postings"], jb["postings"]]
+        sweep["pipeline_sec"] = [
+            head_engine["pipeline_sec"], round(jb["pipeline_sec"], 3)
+        ]
+        sweep["build_sec"] = [
+            head_engine["build_sec"], round(jb["build_sec"], 3)
+        ]
+        sweep["query_p50_sec"] = [
+            head_engine["query_p50_sec"], round(lats[len(lats) // 2], 3)
+        ]
+        factor = round(sweep["postings"][1] / max(sweep["postings"][0], 1), 2)
+        sweep["size_factor_postings"] = factor
+        lin = sweep.setdefault("linearity", {})
+        lin["pipeline"] = round(
+            sweep["pipeline_sec"][1] / sweep["pipeline_sec"][0] / factor, 2
+        )
+        lin["build"] = round(
+            sweep["build_sec"][1] / sweep["build_sec"][0] / factor, 2
+        )
+        lin["query_p50"] = round(
+            sweep["query_p50_sec"][1] / sweep["query_p50_sec"][0] / factor, 2
+        )
+        _mark("sweep_engine_10x")
 
-    from splade_spark.documents import build_documents as _bd
-    from splade_spark.pipeline.dedup import (
-        minhash_dedup_pairs as _mh,
-        simhash_near_dup_pairs as _shp,
-        simhash_signatures as _shs,
-    )
-    from splade_spark.tokenize import term_freqs as _tf_fn
+    if _fits("sweep_dedup", EST_SWEEP_DEDUP):
+        from splade_spark.documents import build_documents as _bd
+        from splade_spark.pipeline.dedup import (
+            minhash_dedup_pairs as _mh,
+            simhash_near_dup_pairs as _shp,
+            simhash_signatures as _shs,
+        )
+        from splade_spark.tokenize import term_freqs as _tf_fn
 
-    # lighter minhash config for the sweep (16 hashes / 4 bands): the
-    # graded quantity is the COST RATIO between sizes, which the hash
-    # count scales out of; the production config's throughput is already
-    # reported by the suite's minhash_dups row
-    dd: dict = {"minhash_sec": [], "simhash_sec": [], "docs": []}
-    regs: list = []
-    doc_dfs = []
-    for tpath in (tdir + "/head", tdir + "/scale"):
-        reg: list = []
-        docs = _bd(spark.read.parquet(tpath), cache_registry=reg).cache()
-        dd["docs"].append(docs.count())
-        doc_dfs.append(docs)
-        regs.append(reg)
-    for docs in doc_dfs:  # minhash 1x, minhash 10x (adjacent)
-        t0 = time.time()
-        _mh(docs, n=3, tau=0.5, num_hashes=16, bands=4).count()
-        dd["minhash_sec"].append(round(time.time() - t0, 3))
-    for docs in doc_dfs:  # simhash 1x, simhash 10x (adjacent)
-        # capped: fixture transcripts are TEMPLATED, so simhash bits
-        # correlate and hot (band, v) buckets go quadratic uncapped
-        # (measured 3.2x superlinear at 40k docs — the exact hazard the
-        # cap exists for; cap semantics tested in test_dedup)
-        t0 = time.time()
-        _shp(_shs(_tf_fn(docs)), max_hamming=3, max_bucket_size=200).count()
-        dd["simhash_sec"].append(round(time.time() - t0, 3))
-    for docs, reg in zip(doc_dfs, regs):
-        docs.unpersist()
-        for c in reg:
-            c.unpersist()
-    sweep.update(dd)
-    doc_factor = dd["docs"][1] / max(dd["docs"][0], 1)
-    sweep["linearity"] = {
-        "pipeline": round(eng["pipeline_sec"][1] / eng["pipeline_sec"][0] / factor, 2),
-        "build": round(eng["build_sec"][1] / eng["build_sec"][0] / factor, 2),
-        "query_p50": round(eng["query_p50_sec"][1] / eng["query_p50_sec"][0] / factor, 2),
-        "merge": round(
-            (eng["merge_sec"][1] / eng["merge_sec"][0])
-            / (eng["merge_postings"][1] / max(eng["merge_postings"][0], 1)),
+        # lighter minhash config for the sweep (16 hashes / 4 bands): the
+        # graded quantity is the COST RATIO between sizes, which the hash
+        # count scales out of; the production config's throughput is already
+        # reported by the suite's minhash_dups row
+        dd: dict = {"minhash_sec": [], "simhash_sec": [], "docs": []}
+        regs: list = []
+        doc_dfs = []
+        for tpath in (tdir + "/head", tdir + "/scale"):
+            reg: list = []
+            docs = _bd(spark.read.parquet(tpath), cache_registry=reg).cache()
+            dd["docs"].append(docs.count())
+            doc_dfs.append(docs)
+            regs.append(reg)
+        for docs in doc_dfs:  # minhash 1x, minhash 10x (adjacent)
+            t0 = time.time()
+            _mh(docs, n=3, tau=0.5, num_hashes=16, bands=4).count()
+            dd["minhash_sec"].append(round(time.time() - t0, 3))
+        for docs in doc_dfs:  # simhash 1x, simhash 10x (adjacent)
+            # capped: fixture transcripts are TEMPLATED, so simhash bits
+            # correlate and hot (band, v) buckets go quadratic uncapped
+            # (measured 3.2x superlinear at 40k docs — the exact hazard the
+            # cap exists for; cap semantics tested in test_dedup)
+            t0 = time.time()
+            _shp(_shs(_tf_fn(docs)), max_hamming=3, max_bucket_size=200).count()
+            dd["simhash_sec"].append(round(time.time() - t0, 3))
+        for docs, reg in zip(doc_dfs, regs):
+            docs.unpersist()
+            for c in reg:
+                c.unpersist()
+        sweep.update(dd)
+        doc_factor = dd["docs"][1] / max(dd["docs"][0], 1)
+        lin = sweep.setdefault("linearity", {})
+        lin["minhash"] = round(
+            dd["minhash_sec"][1] / dd["minhash_sec"][0] / doc_factor, 2
+        )
+        lin["simhash"] = round(
+            dd["simhash_sec"][1] / dd["simhash_sec"][0] / doc_factor, 2
+        )
+        _mark("sweep_dedup")
+
+    if _fits("sweep_merge_10x", EST_SWEEP_MERGE):
+        _settle(timeout_s=60)
+        msec10, mn10 = _merge_bench(spark, tdir + "/scale", num_shards)
+        sweep["merge_sec"] = [timings["segment_merge"], round(msec10, 3)]
+        sweep["merge_postings"] = [merge_postings_n, mn10]
+        lin = sweep.setdefault("linearity", {})
+        lin["merge"] = round(
+            (msec10 / timings["segment_merge"])
+            / (mn10 / max(merge_postings_n, 1)),
             2,
-        ),
-        "minhash": round(dd["minhash_sec"][1] / dd["minhash_sec"][0] / doc_factor, 2),
-        "simhash": round(dd["simhash_sec"][1] / dd["simhash_sec"][0] / doc_factor, 2),
-    }
-    extra["sweep"] = sweep
+        )
+        _mark("sweep_merge_10x")
 
-    spark.stop()
-    _mark("sf_sweep")
-    _run_scale_round()  # scaling round 3 of 3
-    _mark("scale_round_3")
+    # --- scaling round 3 (optional; min-of-2 rounds is still valid) ---------
+    spark.stop()  # leg subprocesses must not compete with an idle JVM
+    est_round = max(round_walls) if round_walls else 420.0
+    if _fits("scale_round_3", est_round):
+        _run_scale_round()
+        _mark("scale_round_3")
 
-    # --- scaling result: N vs 4N executors, min over 3 SPREAD rounds ---
-    # (legs and round placement defined/explained at the top of main();
-    # min over interleaved rounds is the estimator for what the job
-    # costs when the machine isn't busy elsewhere)
-    def _mins(rep_list: list[dict]) -> dict:
-        return {
-            k: min(r[k] for r in rep_list)
-            for k in ("build_sec", "pipeline_sec", "encode_sec",
-                      "query_batch_sec")
-        }
+    # --- machine ceiling calibration (diagnostic context, optional) ---------
+    # what a perfectly parallel pure-numpy workload measures on this box at
+    # the same widths (2 vs 8 active cores) — NOT the graded number (the
+    # calibration has no shuffle/Arrow/JVM and is clamped to <=1.0, so
+    # dividing by it can only inflate)
+    if _fits("machine_ceiling", EST_CEILING):
+        ceiling_holder.append(
+            round(_machine_parallel_ceiling(lo * cores_per, hi * cores_per), 3)
+        )
+        _update_scaling()
+        _mark("machine_ceiling")
 
-    def _effs(reps: dict) -> dict[str, float]:
-        bn, b4 = _mins(reps["n"]), _mins(reps["4n"])
-        ratio = hi / lo
-        return {
-            "efficiency_build": round(
-                bn["build_sec"] / (b4["build_sec"] * ratio), 3
-            ),
-            "efficiency_encode": round(
-                bn["encode_sec"] / (b4["encode_sec"] * ratio), 3
-            ),
-            "efficiency_query": round(
-                bn["query_batch_sec"] / (b4["query_batch_sec"] * ratio), 3
-            ),
-        }
-
-    scaling = {}
-    for label, nexec in [("n", lo), ("4n", hi)]:
-        p = reps[label][0]["postings"]
-        ep = reps[label][0]["encode_postings"]
-        best = _mins(reps[label])
-        scaling[label] = {
-            "executors": nexec,
-            "cores_per_executor": cores_per,
-            "build_sec": round(best["build_sec"], 3),
-            "pipeline_sec": round(best["pipeline_sec"], 3),
-            "postings_per_sec": round(p / best["build_sec"], 1),
-            "encode_sec": round(best["encode_sec"], 3),
-            "encode_postings": ep,
-            "encode_postings_per_sec": round(ep / best["encode_sec"], 1),
-            "query_batch_sec": round(best["query_batch_sec"], 3),
-            "queries_per_sec": round(
-                N_SCALE_QUERIES / best["query_batch_sec"], 1
-            ),
-            "loadavg_at_samples": [
-                r["loadavg_at_start"] for r in reps[label]
-            ],
-            "busy_frac_at_samples": [
-                r["busy_frac_at_start"] for r in reps[label]
-            ],
-        }
-    # raw efficiencies: measured narrow-vs-wide throughput ratio, no
-    # normalization — THESE are the pass/fail numbers for the >=0.8 rule
-    scaling.update(_effs(reps))
-    scaling["rounds"] = SCALE_ROUNDS
-    # full per-round samples: the min-based efficiencies above are the
-    # graded numbers; the raw spread shows how much external tenancy the
-    # min had to reject (this box shares physical hardware — bursts appear
-    # mid-leg without any warning a start-of-leg gate could catch)
-    scaling["rounds_raw"] = reps
-    # calibration: what a perfectly parallel workload measures on this box
-    # at the same widths (2 vs 8 active cores) — reported as DIAGNOSTIC
-    # context only (the calibration workload is pure numpy, no
-    # shuffle/Arrow/JVM, and the value is clamped to <=1.0, so dividing by
-    # it can only inflate); it is NOT the graded number
-    ceiling = round(_machine_parallel_ceiling(lo * cores_per, hi * cores_per), 3)
-    scaling["machine_parallel_ceiling"] = ceiling
-    for kname in ("efficiency_build", "efficiency_encode", "efficiency_query"):
-        scaling[kname + "_vs_ceiling"] = round(scaling[kname] / ceiling, 3)
-    scaling["graded_metric"] = (
-        "raw efficiency_encode / efficiency_query / efficiency_build are the "
-        "pass/fail numbers; *_vs_ceiling values are diagnostic context only"
-    )
-    _mark("calibration_and_aggregate")
-    extra["scaling"] = scaling
-    extra["phase_wall"] = phase_wall
+    # (spark already stopped before scale round 3)
 
     # the shared sandbox disk is the scarce resource — drop the ~5 index
     # dirs and the scaling corpora this run created
     for d in _TMP_DIRS + [tdir]:
         shutil.rmtree(d, ignore_errors=True)
-
-    out = {
-        "metric": "splade_spark_bench_total",
-        "value": round(time.time() - total_t0, 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        **extra,
+    extra["budget"] = {
+        "budget_sec": budget,
+        "spent_sec": round(time.time() - total_t0, 1),
     }
-    # full detail (per-sample scaling rounds, phase walls, ann detail, sweep
-    # rows) goes to a sidecar file; stdout gets ONE COMPACT headline line as
-    # the LAST line — the driver captures only a ~2 KB stdout tail, and the
-    # round-3 full-detail line outgrew it (BENCH_r03.json parsed: null)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(out, fh, indent=1)
-    headline = {
-        "metric": "splade_spark_bench_total",
-        "value": out["value"],
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "postings_per_sec": extra["index_postings_per_sec"],
-        "efficiency_build": scaling["efficiency_build"],
-        "efficiency_encode": scaling["efficiency_encode"],
-        "efficiency_query": scaling["efficiency_query"],
-        "machine_parallel_ceiling": ceiling,
-        "sweep_x10_linearity": sweep["linearity"],
-        "detail": "BENCH_DETAIL.json",
-    }
-    line = json.dumps(headline)
-    if len(line) > 1500:  # hard budget: never outgrow the tail window again
-        for k in sorted(timings, key=lambda k: timings[k]):
-            del headline["queries"][k]
-            line = json.dumps(headline)
-            if len(line) <= 1500:
-                break
-    print(flush=True)  # clean break from any progress-bar remnants
-    print(line, flush=True)
+    _mark("final")
 
 
 if __name__ == "__main__":
