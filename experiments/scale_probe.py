@@ -31,7 +31,17 @@ def _leg(nexec: int, tdir: str, pyzip: str, evdir: str, out_path: str) -> None:
 
     shm = tempfile.mkdtemp(prefix="probe_shuffle_", dir="/dev/shm")
     os.environ["SPARK_LOCAL_DIRS"] = shm
-    s = (
+    malloc_env = {}
+    if os.environ.get("PROBE_MALLOC_TUNE") == "1":
+        # glibc: keep large numpy temporaries on the heap for reuse instead
+        # of mmap/munmap per allocation (fresh-page faults + zeroing were
+        # ~50% of kernel-side cost in the bare calibration)
+        malloc_env = {
+            "MALLOC_MMAP_THRESHOLD_": "134217728",
+            "MALLOC_TRIM_THRESHOLD_": "268435456",
+        }
+        os.environ.update(malloc_env)
+    b = (
         SparkSession.builder.master(f"local-cluster[{nexec},1,6144]")
         .appName(f"probe_{nexec}")
         .config("spark.executor.memory", "6g")
@@ -49,8 +59,10 @@ def _leg(nexec: int, tdir: str, pyzip: str, evdir: str, out_path: str) -> None:
         .config("spark.eventLog.dir", "file:" + evdir)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    for k, v in malloc_env.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
+    s = b.getOrCreate()
     sc = s.sparkContext
     sc.setLogLevel("ERROR")
     sc.addPyFile(pyzip)
@@ -70,12 +82,32 @@ def _leg(nexec: int, tdir: str, pyzip: str, evdir: str, out_path: str) -> None:
     build_postings(w, scale, num_shards=32).agg(F.sum("n")).collect()
 
     marks: dict[str, float] = {}
+    stat_samples: list[tuple[float, list[int]]] = []
+    stop_flag = []
+
+    def _stat():
+        with open("/proc/stat") as fh:
+            return list(map(int, fh.readline().split()[1:9]))
+
+    def _sampler():
+        while not stop_flag:
+            stat_samples.append((time.time(), _stat()))
+            time.sleep(2)
+
+    import threading
+
+    th = threading.Thread(target=_sampler, daemon=True)
+    th.start()
+
+    windows: dict[str, tuple[float, float]] = {}
 
     def timed(name, fn):
         sc.setJobGroup(name, name)
         t0 = time.time()
         fn()
-        marks[name] = round(time.time() - t0, 3)
+        t1 = time.time()
+        marks[name] = round(t1 - t0, 3)
+        windows[name] = (t0, t1)
 
     for i in range(2):
         timed(
@@ -91,11 +123,32 @@ def _leg(nexec: int, tdir: str, pyzip: str, evdir: str, out_path: str) -> None:
     )
     app_id = sc.applicationId
     s.stop()
+    stop_flag.append(1)
     import shutil
 
     shutil.rmtree(shm, ignore_errors=True)
+
+    # per-mark window: average whole-box CPU busy/steal during the window
+    def window_stats(t0, t1):
+        pts = [(t, v) for t, v in stat_samples if t0 - 2 <= t <= t1 + 2]
+        if len(pts) < 2:
+            return None
+        d = [b - a for a, b in zip(pts[0][1], pts[-1][1])]
+        tot = sum(d) or 1
+        # fields: user nice system idle iowait irq softirq steal
+        return {
+            "user_pct": round((d[0] + d[1]) / tot * 100, 1),
+            "sys_pct": round(d[2] / tot * 100, 1),
+            "idle_pct": round(d[3] / tot * 100, 1),
+            "iowait_pct": round(d[4] / tot * 100, 1),
+            "steal_pct": round(d[7] / tot * 100, 1),
+        }
+
+    cpu_windows = {k: window_stats(*w) for k, w in windows.items()}
     with open(out_path, "w") as fh:
-        json.dump({"marks": marks, "app_id": app_id}, fh)
+        json.dump(
+            {"marks": marks, "app_id": app_id, "cpu_windows": cpu_windows}, fh
+        )
 
 
 def _evlog_lines(path: str):
