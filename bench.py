@@ -1004,8 +1004,10 @@ def main() -> None:
     _mark("headline_and_batch")
     # round 2 is never dropped, but its EXTRA build sample is budget-aware:
     # only taken when the round (whose round-1 wall already includes the
-    # extra build) still fits in the remaining budget with the reserve
-    br2 = 2 if _left() > round_walls[0] * 1.1 + RESERVE else 1
+    # extra build) still fits in the remaining budget with room left for
+    # the never-dropped merge/suite/ANN phase and the final-emit reserve
+    EST_MERGE_SUITE = 220.0
+    br2 = 2 if _left() > round_walls[0] * 1.1 + EST_MERGE_SUITE + RESERVE else 1
     _run_scale_round(build_reps=br2)  # scaling round 2 (never dropped)
     _mark("scale_round_2")
     spark = _mk_spark(cpus, "splade_bench_b")
