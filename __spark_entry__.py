@@ -856,6 +856,46 @@ def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through a GROWN IVF index: build on the even-id half (k-means
+    centroids trained on that half only, stored in the index meta), append
+    the odd-id half — append routes new vectors through the FROZEN
+    quantizer, never retrains — then query the grown index at nprobe =
+    n_centroids, so every cell is probed and the candidate set is the full
+    appended corpus. The DuckDB oracle is plain brute-force cosine top-k
+    over the whole table: a green hash proves build(A) + append(B) serves
+    exactly A ∪ B (no appended vector lost or misrouted into an unprobed
+    cell) against an independent engine, complementing pytest's
+    append-equals-rebuild routing invariant. Queries vec_id 15..17
+    (distinct from every other ANN entry's)."""
+    import tempfile
+
+    from splade_spark.pipeline.ann_index import (
+        append_ivf_index, build_ivf_index, ivf_topk_from_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="splade_ann_ivf_app_") + "/idx"
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path,
+        n_centroids=8, sample_size=1_000_000,
+    )
+    append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    q = emb.filter((F.col("vec_id") >= 15) & (F.col("vec_id") < 18)).toPandas()
+    import pandas as pd
+
+    qv = pd.DataFrame(
+        {"query_id": [f"v{i}" for i in q["vec_id"]], "embedding": q["embedding"].tolist()}
+    )
+    res = ivf_topk_from_index(spark, path, qv, k=5, nprobe=8)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via hyperplane-LSH buckets + exact
     JVM-side cosine verify, SQL-oracle-checked with the planes injected as
@@ -959,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_served": q_ann_lsh_served,
         "ann_lsh_appended": q_ann_lsh_appended,
         "ann_ivf_served": q_ann_ivf_served,
+        "ann_ivf_appended": q_ann_ivf_appended,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_capped": q_emb_near_dup_capped,
         "engine_bm25_serving": q_engine_bm25_serving,
@@ -1599,6 +1640,30 @@ def oracle_sql() -> dict[str, str]:
             )
             -- nprobe = n_centroids probes every IVF cell, so the served
             -- candidate set is the whole corpus: plain brute-force top-k
+            SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank FROM (
+              SELECT 'v' || qid::VARCHAR AS query_id, vec_id, cosine,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_ivf_appended": """
+            WITH probes AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id >= 15 AND vec_id < 18
+            ),
+            scored AS (
+              SELECT p.qid, e.vec_id,
+                list_dot_product(e.embedding::DOUBLE[], p.qvec)
+                  / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(p.qvec, p.qvec))) AS cosine
+              FROM embeddings e CROSS JOIN probes p
+            )
+            -- the engine serves build(even ids) + append(odd ids) at
+            -- nprobe = n_centroids: candidates = the full appended corpus,
+            -- so the oracle is brute-force top-k over the WHOLE table —
+            -- any lost/misrouted appended vector breaks the hash
             SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank FROM (
               SELECT 'v' || qid::VARCHAR AS query_id, vec_id, cosine,
                 row_number() OVER (PARTITION BY qid

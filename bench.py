@@ -748,7 +748,17 @@ def main() -> None:
         phases_done.append(name)
         _emit()
 
+    _bench_pid = os.getpid()
+
     def _on_term(signum, frame):
+        # forked children inherit this handler AND the parent's snapshot
+        # state: mp.Pool.__exit__ in the machine-ceiling phase terminates
+        # its fork workers with SIGTERM, and without a pid guard each
+        # worker emits a spurious `killed_by_signal_15` snapshot and
+        # rewrites BENCH_DETAIL.json (observed mid-run in the 2026-08-18
+        # fourth full run). Only the main bench process may emit.
+        if os.getpid() != _bench_pid:
+            os._exit(0)
         # the driver kills on its wall clock with SIGTERM-then-SIGKILL:
         # emit a final snapshot NOW and exit before executor-shutdown
         # stack traces can push the snapshot out of the captured tail
