@@ -32,6 +32,17 @@ def _leg(nexec: int, tdir: str, pyzip: str, evdir: str, out_path: str) -> None:
     shm = tempfile.mkdtemp(prefix="probe_shuffle_", dir="/dev/shm")
     os.environ["SPARK_LOCAL_DIRS"] = shm
     malloc_env = {}
+    pool = os.environ.get("PROBE_ARROW_POOL")
+    if pool:
+        # pyarrow reads ARROW_DEFAULT_MEMORY_POOL at import: the bundled
+        # jemalloc (the 16.x Linux default) decays dirty pages back to the
+        # OS within ~1 s, so every Arrow batch re-faults fresh zeroed pages
+        # through the host allocator — the exact channel the round-5
+        # variance investigation measured at 0.12-1.2 GB/s first-touch.
+        # mimalloc retains freed pages for reuse; this knob measures
+        # whether pool choice moves the supply-bound wide leg.
+        malloc_env["ARROW_DEFAULT_MEMORY_POOL"] = pool
+        os.environ["ARROW_DEFAULT_MEMORY_POOL"] = pool
     if os.environ.get("PROBE_MALLOC_TUNE") == "1":
         # glibc: keep large numpy temporaries on the heap for reuse instead
         # of mmap/munmap per allocation (fresh-page faults + zeroing were
