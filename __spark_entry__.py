@@ -896,6 +896,46 @@ def q_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full evaluation-metric bundle (MRR@k / recall@k / NDCG@k /
+    R_cap@k — reference splade/utils/metrics.py:16-52, beir_eval.py:89-95)
+    through the REAL public API (`evaluation.metrics.evaluate`), DuckDB
+    -oracle-checked end to end. Inputs are derived deterministically from
+    the documents table: a 10-query run (query = doc_id mod 10, pseudo
+    -score (doc_id*37) mod 101, top-20 under the engine's total order
+    score desc / doc_id asc) and graded qrels (docs with doc_id ≡ 0 mod 7,
+    rel = 1 + doc_id mod 2). The oracle replays run construction, ranking,
+    the top-k joins, linear-gain DCG/IDCG and the positive-query averaging
+    conventions (queries absent from the run score 0) literally in SQL —
+    a green hash proves the metric semantics against an independent
+    engine, complementing the pytest golden + hypothesis property tests."""
+    from splade_spark.evaluation.metrics import evaluate
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    qid = F.concat(F.lit("q"), (F.col("doc_id") % 10).cast("string"))
+    run = docs.select(
+        qid.alias("query_id"),
+        "doc_id",
+        ((F.col("doc_id") * 37) % 101).cast("double").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    run = (
+        run.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .drop("rank")  # evaluate() re-ranks internally — exercise that path
+    )
+    qrels = docs.filter(F.col("doc_id") % 7 == 0).select(
+        qid.alias("query_id"),
+        "doc_id",
+        (F.lit(1) + (F.col("doc_id") % 2)).alias("rel"),
+    )
+    m = evaluate(run, qrels, ks=(5, 10))
+    rows = [(name, float(round(v, 6))) for name, v in sorted(m.items())]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via hyperplane-LSH buckets + exact
     JVM-side cosine verify, SQL-oracle-checked with the planes injected as
@@ -1000,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_appended": q_ann_lsh_appended,
         "ann_ivf_served": q_ann_ivf_served,
         "ann_ivf_appended": q_ann_ivf_appended,
+        "eval_metrics": q_eval_metrics,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_capped": q_emb_near_dup_capped,
         "engine_bm25_serving": q_engine_bm25_serving,
@@ -1670,6 +1711,86 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY cosine DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "eval_metrics": """
+            WITH d AS (SELECT doc_id FROM documents),
+            run0 AS (
+              SELECT 'q' || (doc_id % 10)::VARCHAR AS query_id, doc_id,
+                     ((doc_id * 37) % 101)::DOUBLE AS score
+              FROM d
+            ),
+            runr AS (
+              SELECT query_id, doc_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rnk
+              FROM run0
+            ),
+            run AS (SELECT * FROM runr WHERE rnk <= 20),
+            qrels AS (
+              SELECT 'q' || (doc_id % 10)::VARCHAR AS query_id, doc_id,
+                     (1 + (doc_id % 2))::BIGINT AS rel
+              FROM d WHERE doc_id % 7 = 0
+            ),
+            posq AS (SELECT DISTINCT query_id FROM qrels),
+            npos AS (SELECT query_id, count(*) AS npos FROM qrels GROUP BY 1),
+            h5 AS (
+              SELECT r.query_id, count(*) AS hits, 1.0/min(r.rnk) AS rr,
+                     sum(q.rel / log2(r.rnk + 1.0)) AS dcg
+              FROM run r JOIN qrels q
+                ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+              WHERE r.rnk <= 5 GROUP BY 1
+            ),
+            i5 AS (
+              SELECT query_id, sum(rel / log2(irank + 1.0)) AS idcg FROM (
+                SELECT query_id, rel,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, doc_id) AS irank
+                FROM qrels
+              ) WHERE irank <= 5 GROUP BY 1
+            ),
+            h10 AS (
+              SELECT r.query_id, count(*) AS hits, 1.0/min(r.rnk) AS rr,
+                     sum(q.rel / log2(r.rnk + 1.0)) AS dcg
+              FROM run r JOIN qrels q
+                ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+              WHERE r.rnk <= 10 GROUP BY 1
+            ),
+            i10 AS (
+              SELECT query_id, sum(rel / log2(irank + 1.0)) AS idcg FROM (
+                SELECT query_id, rel,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, doc_id) AS irank
+                FROM qrels
+              ) WHERE irank <= 10 GROUP BY 1
+            ),
+            m5 AS (
+              SELECT avg(coalesce(h.rr, 0)) AS mrr,
+                     avg(coalesce(h.hits, 0)::DOUBLE / n.npos) AS recall,
+                     avg(coalesce(h.dcg, 0) / i.idcg) AS ndcg,
+                     avg(coalesce(h.hits, 0)::DOUBLE / least(n.npos, 5))
+                       AS r_cap
+              FROM posq p JOIN npos n USING (query_id)
+              JOIN i5 i USING (query_id) LEFT JOIN h5 h USING (query_id)
+            ),
+            m10 AS (
+              SELECT avg(coalesce(h.rr, 0)) AS mrr,
+                     avg(coalesce(h.hits, 0)::DOUBLE / n.npos) AS recall,
+                     avg(coalesce(h.dcg, 0) / i.idcg) AS ndcg,
+                     avg(coalesce(h.hits, 0)::DOUBLE / least(n.npos, 10))
+                       AS r_cap
+              FROM posq p JOIN npos n USING (query_id)
+              JOIN i10 i USING (query_id) LEFT JOIN h10 h USING (query_id)
+            )
+            SELECT metric, value FROM (
+              SELECT 'mrr_5' AS metric, round(mrr, 6) AS value FROM m5
+              UNION ALL SELECT 'recall_5', round(recall, 6) FROM m5
+              UNION ALL SELECT 'ndcg_5', round(ndcg, 6) FROM m5
+              UNION ALL SELECT 'r_cap_5', round(r_cap, 6) FROM m5
+              UNION ALL SELECT 'mrr_10', round(mrr, 6) FROM m10
+              UNION ALL SELECT 'recall_10', round(recall, 6) FROM m10
+              UNION ALL SELECT 'ndcg_10', round(ndcg, 6) FROM m10
+              UNION ALL SELECT 'r_cap_10', round(r_cap, 6) FROM m10
+            ) ORDER BY metric
         """,
         "emb_near_dup": f"""
             WITH planes(j, pv) AS (VALUES {nd_planes}),
