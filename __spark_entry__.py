@@ -352,6 +352,57 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (Lee et al. dedup): per doc, the
+    fraction of its 5-token windows whose gram occurs in >=2 distinct
+    docs. hash_mode='raw' so every stage is value-replayable in SQL (the
+    production default xxhash64 is equivalence-tested in pytest)."""
+    from splade_spark.pipeline.spans import duplicate_span_stats
+
+    return duplicate_span_stats(
+        _docs(spark, sf_dir), n=5, min_docs=2, hash_mode="raw"
+    ).select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.round("dup_window_fraction", 6).alias("dup_window_fraction"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition: top-2-gram and duplicated-
+    3-gram character fractions, integer numerators + one final division
+    so the hash is partition-order-proof."""
+    from splade_spark.pipeline.spans import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "token_chars",
+        "top_gram_chars",
+        F.round("top_gram_frac", 6).alias("top_gram_frac"),
+        "dup_gram_chars",
+        F.round("dup_gram_frac", 6).alias("dup_gram_frac"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: probe 5-grams from the doc_id%7==0
+    slice ("the benchmark"), flag the remaining corpus docs containing
+    any probe gram via a broadcast semi-join. The sf corpus's duplicate
+    pairs straddle the %7 split, so both hit and miss branches carry
+    rows."""
+    from splade_spark.pipeline.spans import decontaminate, probe_grams
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontaminate(corpus, probe_grams(bench, n=5), n=5).select(
+        "doc_id",
+        F.col("n_probe_hits").cast("long").alias("n_probe_hits"),
+        "contaminated",
+    )
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for probe vectors vec_id < 3 — sequential
     fold dot product so the float math matches the SQL oracle bit-for-bit."""
@@ -1027,6 +1078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "dup_spans": q_dup_spans,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_label_norms": q_emb_label_norms,
         "events_hourly": q_events_hourly,
@@ -1074,6 +1128,25 @@ _BM25_W = _TF + """,
         * (tf::DOUBLE * (1.2 + 1))
         / (tf::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl::DOUBLE / avgdl)) AS weight
     FROM tf JOIN dl USING (doc_id) JOIN dfs USING (term) CROSS JOIN stats
+  )
+"""
+
+
+def _wins_cte(n: int, source: str = "documents") -> str:
+    """Token n-gram window CTE (`wins`: doc_id, gram) — the SQL mirror of
+    pipeline.dedup.shingles_col / pipeline.spans._doc_grams: lowercase
+    [^a-z0-9]+ split, empties filtered, space-joined n-token windows, one
+    row per occurrence."""
+    return f"""
+  toks_arr AS (
+    SELECT doc_id, list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+    FROM {source}
+  ),
+  wins AS (
+    SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+    FROM toks_arr, LATERAL (SELECT unnest(range(1, len(t) - {n} + 2)) AS i) r(i)
+    WHERE len(t) >= {n}
   )
 """
 
@@ -1528,6 +1601,85 @@ def oracle_sql() -> dict[str, str]:
                 (acc, c) -> (acc * 31 + c) % {fp_mod}
               ) AS fingerprint
             FROM documents
+        """,
+        "dup_spans": f"""
+            WITH {_wins_cte(5)},
+            g AS (
+              SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS nd FROM wins GROUP BY 1
+              ) WHERE nd >= 2
+            )
+            SELECT w.doc_id,
+              count(*)::BIGINT AS n_windows,
+              sum(CASE WHEN g.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                AS n_dup_windows,
+              round(sum(CASE WHEN g.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*), 6) AS dup_window_fraction
+            FROM wins w LEFT JOIN g USING (gram)
+            GROUP BY 1
+        """,
+        "repetition_stats": """
+            WITH toks_arr AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, coalesce(
+                list_sum(list_transform(t, x -> length(x))), 0)::BIGINT
+                AS token_chars
+              FROM toks_arr
+            ),
+            w2 AS (
+              SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+              FROM toks_arr,
+                   LATERAL (SELECT unnest(range(1, len(t))) AS i) r(i)
+              WHERE len(t) >= 2
+            ),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM w2 GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, (cnt * (length(gram) - 1))::BIGINT AS top_gram_chars
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+                    FROM c2)
+              WHERE rn = 1
+            ),
+            w3 AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+              FROM toks_arr,
+                   LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r(i)
+              WHERE len(t) >= 3
+            ),
+            c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM w3 GROUP BY 1, 2),
+            dup AS (
+              SELECT doc_id, sum(cnt * (length(gram) - 2))::BIGINT
+                AS dup_gram_chars
+              FROM c3 WHERE cnt >= 2 GROUP BY 1
+            )
+            SELECT b.doc_id, b.token_chars,
+              coalesce(top_gram_chars, 0)::BIGINT AS top_gram_chars,
+              round(coalesce(top_gram_chars, 0)::DOUBLE
+                / (CASE WHEN token_chars > 0 THEN token_chars ELSE 1 END), 6)
+                AS top_gram_frac,
+              coalesce(dup_gram_chars, 0)::BIGINT AS dup_gram_chars,
+              round(coalesce(dup_gram_chars, 0)::DOUBLE
+                / (CASE WHEN token_chars > 0 THEN token_chars ELSE 1 END), 6)
+                AS dup_gram_frac
+            FROM base b LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
+        """,
+        "decontaminate": f"""
+            WITH {_wins_cte(5)},
+            probe AS (SELECT DISTINCT gram FROM wins WHERE doc_id % 7 = 0),
+            dg AS (SELECT DISTINCT doc_id, gram FROM wins WHERE doc_id % 7 <> 0),
+            hits AS (
+              SELECT doc_id, count(*) AS nh
+              FROM dg JOIN probe USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+              coalesce(nh, 0)::BIGINT AS n_probe_hits,
+              coalesce(nh, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits USING (doc_id)
+            WHERE d.doc_id % 7 <> 0
         """,
         "emb_cosine_topk": """
             WITH probes AS (
