@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 import numpy as np
 
 from .build import POSTINGS_SCHEMA, _write_index_meta, read_index_meta
-from .codec import decode_block, encode_groups
+from .codec import decode_block_raw, decode_varint, encode_groups
 
 
 def merge_postings(
@@ -47,8 +47,14 @@ def merge_postings(
     Streaming re-encode (see module docstring): one repartition of the
     compressed blocks, then all complete (shard, term) groups in each
     Arrow batch are decoded + re-encoded in a single vectorized
-    encode_groups pass. Requantization round-trips exactly:
-    rint((q/scale)*scale) == q."""
+    encode_groups pass. The decode side stays in the integer quantized
+    domain end to end (decoded weights feed encode_groups with
+    prequantized=True), which is byte-identical to the old
+    dequantize-then-requantize round trip — rint((q/scale)*scale) == q —
+    without the two float passes. Varint doc deltas for ALL blocks in a
+    batch decode in ONE vectorized pass over the concatenated byte
+    streams (segmented cumsum reconstructs absolute docIDs), replacing
+    the per-block Python decode loop."""
     unioned = segments[0]
     for s in segments[1:]:
         unioned = unioned.unionByName(s)
@@ -63,23 +69,46 @@ def merge_postings(
         n_part, "shard_id", "term_id"
     ).sortWithinPartitions("shard_id", "term_id", "first_doc")
 
+    wdtype = np.uint8 if bits <= 8 else np.uint16
+
     def _reencode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-        n_arr = pdf["n"].to_numpy()
-        docs_all, w_all = [], []
-        for first, n, db, wb in zip(
-            pdf["first_doc"], pdf["n"], pdf["doc_bytes"], pdf["w_bytes"]
-        ):
-            d, w = decode_block(int(first), int(n), db, wb, scale, bits, codec)
-            docs_all.append(d)
-            w_all.append(w)
-        doc = np.concatenate(docs_all)
-        w = np.concatenate(w_all)
+        n_arr = pdf["n"].to_numpy(np.int64)
+        first = pdf["first_doc"].to_numpy(np.int64)
+        total = int(n_arr.sum())
+        if codec == "varint":
+            # one vectorized decode of every block's delta stream: LEB128
+            # is self-delimiting, so the concatenated buffers parse in a
+            # single pass (sum(n-1) deltas, in block order)
+            deltas = decode_varint(b"".join(pdf["doc_bytes"])).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(n_arr)[:-1]))
+            vals = np.empty(total, dtype=np.int64)
+            mask = np.ones(total, dtype=bool)
+            mask[starts] = False
+            vals[starts] = first
+            vals[mask] = deltas
+            c = np.cumsum(vals)
+            # segmented cumsum: doc[j] = first_b + Σ deltas in block b
+            doc = c - np.repeat(c[starts] - first, n_arr)
+            q = np.frombuffer(
+                b"".join(pdf["w_bytes"]), dtype=wdtype
+            ).astype(np.int64)
+        else:
+            docs_all, w_all = [], []
+            for f, n, db, wb in zip(
+                pdf["first_doc"], pdf["n"], pdf["doc_bytes"], pdf["w_bytes"]
+            ):
+                d, w = decode_block_raw(int(f), int(n), db, wb, bits, codec)
+                docs_all.append(d)
+                w_all.append(w)
+            doc = np.concatenate(docs_all)
+            q = np.concatenate(w_all)
         shard_rep = np.repeat(pdf["shard_id"].to_numpy(), n_arr)
         term_rep = np.repeat(pdf["term_id"].to_numpy(), n_arr)
         return pd.DataFrame(
             encode_groups(
-                shard_rep, term_rep, doc, w, scale,
+                shard_rep, term_rep, doc, q, scale,
                 block_size=block_size, bits=bits, codec=codec,
+                prequantized=True,
             )
         )
 
@@ -156,6 +185,16 @@ def merge_indexes(
         segs, scale, block_size,
         bits=metas[0].get("bits", 8),
         codec=metas[0].get("codec", "varint"),
+    )
+    # Same sink arrangement as build_index: range the (small, compressed)
+    # blocks into one partition per shard so each shard directory gets ~one
+    # term-sorted file. Without this every re-encode partition writes its
+    # own sliver into every shard dir (encode_partitions × shards files —
+    # measured 2 048 at the bench shape): the commit's serial renames
+    # dominate merge wall time and the query path loses tight term_id
+    # row-group pruning.
+    merged = merged.repartition(num_shards, "shard_id").sortWithinPartitions(
+        "shard_id", "term_id", "block_id"
     )
     # STATIC overwrite, unlike build_index's dynamic mode: dynamic only
     # replaces partitions present in the new data, so a merge into a path
