@@ -76,6 +76,37 @@ def doc_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     )
 
 
+def doc_shingle_keys(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, sh long) distinct pairs — 64-bit hashed word n-grams.
+
+    The Jaccard pipeline only needs *equality* semantics on shingles (join
+    keys, distinct counts), so the shingle string never has to exist: one
+    JVM xxhash64 per word, then one xxhash64 over each window's n word
+    hashes. Profiled on the fixture corpus, the slice+array_join string
+    build in ``shingles_col`` was ~45% of the shingle stage (the same
+    finding that motivated minhash's 'word' mode), and an 8-byte key
+    roughly quarters every downstream shuffle row vs a ~25-byte shingle
+    string (guide: shuffle keys, not payloads). Collision odds are
+    ~k²/2^64 over distinct shingles — negligible at any realistic corpus.
+    The word-hash array is materialized as a projected column first so
+    each element hashes once (an inline expression would re-evaluate the
+    transform per element_at)."""
+    wh = F.transform(tokens_col(F.col(text_col)), lambda w: F.xxhash64(w))
+    tmp = df.select(id_col, wh.alias("_wh"))
+    keys = F.when(
+        F.size("_wh") < n, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_wh") - n),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("_wh"), i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return tmp.select(id_col, F.explode(keys).alias("sh")).distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -92,22 +123,37 @@ def ngram_jaccard_pairs(
     bound join skew (at 100 TB this cap is what keeps the op feasible;
     shingles that common carry no dedup signal anyway).
 
-    cache_registry: the shingle table is cached (three consumers in the
-    returned plan); pass a list and the cached frame is appended so the
-    caller can unpersist after consuming the result — a curation loop
-    calling this per-corpus otherwise accumulates one pinned cache entry
-    per call (same contract as documents.assign_doc_ids).
+    Shape: shingles travel as hashed 64-bit keys (doc_shingle_keys), the
+    self-join input keeps only shingles with 2 <= df <= cap — a df-1
+    shingle cannot produce an (a, b) pair, and on natural corpora most
+    distinct shingles are df-1, so this drops the bulk of the join input
+    with an identical result — and that filtered table is cached so the
+    a/b sides of the self-join don't each recompute the freq join.
+
+    cache_registry: the shingle table and the df-filtered join input are
+    cached (each has multiple consumers in the returned plan); pass a
+    list and the cached frames are appended so the caller can unpersist
+    after consuming the result — a curation loop calling this per-corpus
+    otherwise accumulates pinned cache entries per call (same contract as
+    documents.assign_doc_ids).
     """
-    sh = doc_shingles(df, n, id_col, text_col).cache()
+    sh = doc_shingle_keys(df, n, id_col, text_col).cache()
     if cache_registry is not None:
         cache_registry.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
-    sh_f = sh.join(freq.filter(F.col("sdf") <= max_shingle_df), "shingle")
-    a = sh_f.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh_f.select(F.col(id_col).alias("doc_b"), "shingle")
+    freq = sh.groupBy("sh").agg(F.count("*").alias("sdf"))
+    sh_f = sh.join(
+        freq.filter(
+            (F.col("sdf") <= max_shingle_df) & (F.col("sdf") >= 2)
+        ).select("sh"),
+        "sh",
+    ).cache()
+    if cache_registry is not None:
+        cache_registry.append(sh_f)
+    a = sh_f.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh_f.select(F.col(id_col).alias("doc_b"), "sh")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
@@ -364,13 +410,16 @@ def minhash_dedup_pairs(
         cache_registry.append(cands)
     # exact verify touches ONLY candidate docs: at corpus scale the verify
     # shingle pass must cost O(candidates), not a second full-corpus
-    # shingle job (sizes are only consumed for candidate pairs anyway)
+    # shingle job (sizes are only consumed for candidate pairs anyway).
+    # Shingles travel as hashed 64-bit keys (doc_shingle_keys): the verify
+    # only needs equality/counts, and an 8-byte key shrinks the
+    # (doc_b, shingle) join shuffle ~4x vs the shingle string.
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = doc_shingles(
+    sh = doc_shingle_keys(
         df.join(cand_ids, id_col, "left_semi"), n, id_col, text_col
     ).cache()
     if cache_registry is not None:
@@ -381,7 +430,7 @@ def minhash_dedup_pairs(
     b_sh = sh.withColumnRenamed(id_col, "doc_b")
     common = (
         cands.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "shingle"])
+        .join(b_sh, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )

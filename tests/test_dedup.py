@@ -127,8 +127,9 @@ def test_dedup_cache_registry_unpersists_clean(spark, dup_corpus):
     try:
         ngram_jaccard_pairs(dup_corpus, n=3, tau=0.5, cache_registry=reg).collect()
         minhash_dedup_pairs(dup_corpus, n=3, tau=0.5, cache_registry=reg).collect()
-        # jaccard: shingles; minhash: sigs + candidate pairs + shingles
-        assert len(reg) == 4
+        # jaccard: shingles + df-filtered join input; minhash: sigs +
+        # candidate pairs + shingles
+        assert len(reg) == 5
         assert jsc.getPersistentRDDs().size() > before
     finally:
         for c in reg:
