@@ -58,6 +58,65 @@ def read_ann_meta(path: str) -> dict:
         return json.load(fh)
 
 
+def _read_probed_partitions(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    probes: list[int],
+    empty_schema: str,
+):
+    """Scan ONLY the probed partition directories of a hive-partitioned ANN
+    index.
+
+    ``spark.read.parquet(path)`` lists every ``bucket=``/``cell=``
+    directory (up to 2^nbits / n_centroids of them) on EVERY query call —
+    at serving rates that driver-side listing dominates the probe itself,
+    and the alternative ``isin`` over a large probe union costs seconds of
+    Catalyst planning per batch. The probe set is known driver-side, so:
+    one cheap listing of the index ROOT (names only), intersect with the
+    probe set, and hand Spark just those directories with ``basePath`` —
+    the scan starts at the probed data, directory pruning done before
+    Spark ever lists. Results are identical by construction: partition
+    directories are disjoint by key, so reading the probed subset equals
+    reading everything and filtering key ∈ probes.
+
+    Falls back to the full read + exact filter when the root isn't
+    listable (non-posix paths) or when the probe set covers most of the
+    index (explicit-path planning would cost more than it saves); the
+    large-union fallback filters via a broadcast semi-join instead of a
+    thousands-literal isin."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        names = None
+    probes = list(probes)
+    if names is not None:
+        pref = key_col + "="
+        existing = {}
+        for nm in names:
+            if nm.startswith(pref):
+                try:
+                    existing[int(nm[len(pref):])] = nm
+                except ValueError:
+                    continue
+        hits = [existing[b] for b in probes if b in existing]
+        if not hits:
+            return spark.createDataFrame([], empty_schema)
+        if len(hits) <= max(64, len(existing) // 2):
+            return spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, nm) for nm in hits]
+            )
+    idx = spark.read.parquet(path)
+    if len(probes) <= 128:
+        return idx.filter(F.col(key_col).isin(probes))
+    pr = spark.createDataFrame([(int(b),) for b in probes], f"_probe long")
+    return idx.join(
+        F.broadcast(pr),
+        F.col(key_col).cast("long") == F.col("_probe"),
+        "left_semi",
+    )
+
+
 def _lsh_planes(dim: int, nbits: int, seed: int) -> np.ndarray:
     """The seeded hyperplanes — identical derivation to
     similarity.hyperplane_signatures, so an index built here yields the
@@ -215,9 +274,13 @@ def lsh_topk_from_index(
         raise ValueError(f"index at {path} is kind={meta.get('kind')!r}, not lsh")
     per_q = lsh_probe_buckets_per_query(query_vectors, meta, multiprobe_bits)
     union = sorted({b for probes in per_q.values() for b in probes})
-    idx = spark.read.parquet(path)
-    # bucket is the hive partition column → this is directory-level pruning
-    pruned = idx.filter(F.col("bucket").isin(union))
+    # bucket is the hive partition column → directory-level pruning, done
+    # driver-side before Spark lists the index (one root listing instead
+    # of walking all 2^nbits bucket directories per call)
+    pruned = _read_probed_partitions(
+        spark, path, "bucket", union,
+        f"{meta['id_col']} long, {meta['vec_col']} array<float>, bucket long",
+    )
     if probe_scope == "per_query":
         return bucketed_cosine_topk(
             pruned, query_vectors, per_q, k, meta["id_col"], meta["vec_col"],
@@ -412,8 +475,12 @@ def ivf_topk_from_index(
         raise ValueError(f"index at {path} is kind={meta.get('kind')!r}, not ivf")
     per_q = ivf_probe_cells_per_query(query_vectors, meta, nprobe)
     union = sorted({c for cells in per_q.values() for c in cells})
-    idx = spark.read.parquet(path)
-    pruned = idx.filter(F.col("cell").isin(union))
+    # cell is the hive partition column → driver-side directory pruning
+    # (see _read_probed_partitions)
+    pruned = _read_probed_partitions(
+        spark, path, "cell", union,
+        f"{meta['id_col']} long, {meta['vec_col']} array<float>, cell int",
+    )
     if probe_scope == "per_query":
         return bucketed_cosine_topk(
             pruned, query_vectors, per_q, k, meta["id_col"], meta["vec_col"],

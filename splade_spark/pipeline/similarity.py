@@ -83,6 +83,7 @@ def brute_cosine_topk(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, qmat_ = bq.value
+        qarr = np.asarray(qids_, dtype=object)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -91,19 +92,16 @@ def brute_cosine_topk(
             sims = mat @ qmat_.T  # (batch, nq)
             kk = min(k, len(ids))
             top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
-            out = []
-            for qi, qid in enumerate(qids_):
-                rows = top[:, qi]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            id_col: ids[rows],
-                            "cosine": sims[rows, qi],
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
+            # ONE output frame per Arrow batch (query-major), not one
+            # pandas DataFrame per query — frame-construction overhead
+            # dominated the rerank at large batch sizes
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qarr, kk),
+                    id_col: ids[top].T.ravel(),
+                    "cosine": np.take_along_axis(sims, top, axis=0).T.ravel(),
+                }
+            )
 
     local = embeddings.select(id_col, vec_col).mapInPandas(
         kernel, schema=f"query_id string, {id_col} long, cosine double"
@@ -150,10 +148,15 @@ def bucketed_cosine_topk(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, qmat_, b2q_ = bq.value
+        qarr = np.asarray(qids_, dtype=object)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = []
+            # per-bucket matmuls, but ONE output frame per Arrow batch:
+            # the previous per-(bucket, query) pd.DataFrame construction
+            # was ~13k tiny frames for a 1000-query batch and dominated
+            # the kernel (the matmuls themselves are micro-sized)
+            out_q, out_i, out_c = [], [], []
             for b, grp in pdf.groupby(bucket_col, sort=False):
                 qidx = b2q_.get(int(b))
                 if qidx is None:
@@ -163,19 +166,17 @@ def bucketed_cosine_topk(
                 sims = mat @ qmat_[qidx].T  # (bucket_rows, n_probing_queries)
                 kk = min(k, len(ids))
                 top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-                for col, qi in enumerate(qidx.tolist()):
-                    rows = top[:, col]
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": qids_[qi],
-                                id_col: ids[rows],
-                                "cosine": sims[rows, col],
-                            }
-                        )
-                    )
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                out_q.append(np.repeat(qidx, kk))
+                out_i.append(ids[top].T.ravel())
+                out_c.append(np.take_along_axis(sims, top, axis=0).T.ravel())
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": qarr[np.concatenate(out_q)],
+                        id_col: np.concatenate(out_i),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
 
     local = candidates.select(id_col, vec_col, bucket_col).mapInPandas(
         kernel, schema=f"query_id string, {id_col} long, cosine double"
