@@ -531,6 +531,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs within max_hamming bits.
 
@@ -548,7 +549,14 @@ def simhash_near_dup_pairs(
     linking against the bucket's min-id representative (linear in bucket
     size); pairs whose similarity lives ONLY in an oversized bucket and
     not with its representative are the accepted recall trade. None
-    (default) keeps the exact pigeonhole-complete semantics."""
+    (default) keeps the exact pigeonhole-complete semantics.
+
+    cache_registry: the banded frame is cached — both sides of the bucket
+    self-join consume it, and without the cache the entire upstream
+    signature pipeline (term aggregation + the Arrow signature kernel)
+    executes twice, once per join side (no exchange reuse across the a/b
+    subtrees). Pass a list to receive the cached frame for
+    unpersist-after-consume (see ngram_jaccard_pairs)."""
     bands = F.array(
         *[
             F.struct(
@@ -566,7 +574,9 @@ def simhash_near_dup_pairs(
     )
     banded = signatures.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
         id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.v").alias("v")
-    )
+    ).cache()
+    if cache_registry is not None:
+        cache_registry.append(banded)
     if max_bucket_size is not None:
         stats = banded.groupBy("band", "v").agg(
             F.count("*").alias("_bsize"), F.min(id_col).alias("_rep")

@@ -296,13 +296,22 @@ def lsh_cosine_topk(
 
 def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = SEED) -> np.ndarray:
     """Tiny seeded Lloyd's k-means on a driver-side sample (centroid init =
-    random sample rows). Deterministic; good enough for IVF routing."""
+    random sample rows). Deterministic; good enough for IVF routing.
+
+    Early-exits once the assignment repeats: an unchanged assignment
+    recomputes the exact same centroids, so every later iteration is a
+    no-op — the returned centroids are identical to running all ``iters``
+    rounds (on converged inputs this skips most of the fixed 8 rounds)."""
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
     cent = sample[idx].copy()
+    prev_assign = None
     for _ in range(iters):
         d = sample @ cent.T
         assign = d.argmax(axis=1)  # cosine on normalized rows
+        if prev_assign is not None and np.array_equal(assign, prev_assign):
+            break
+        prev_assign = assign
         for c in range(len(cent)):
             m = assign == c
             if m.any():

@@ -25,6 +25,9 @@ Python). Skipped intervals' blocks are never decoded.
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -35,8 +38,56 @@ from ..index.codec import check_bits, decode_block_raw
 CHUNK = 32  # intervals scored in the FIRST refinement round
 CHUNK_MAX = 512  # cap for the geometrically-growing later rounds
 # merge='auto' collects per-shard top-k driver-side only below this bound on
-# n_queries × k × num_shards (~100 MB of (str, i64, i64) tuples)
-DRIVER_MERGE_MAX_ROWS = 2_000_000
+# n_queries × k × num_shards. 400k is the measured crossover on the bench
+# shape (32 shards, k=10): below it the driver merge saves a Spark stage;
+# above it the collect + re-upload costs more than the distributed window
+# merge — and the collect is a serial driver cost that no executor count
+# amortizes, so large batches should stay distributed on clusters too.
+# Env-overridable for drivers sized differently.
+DRIVER_MERGE_MAX_ROWS = int(
+    os.environ.get("SPLADE_DRIVER_MERGE_MAX_ROWS", "400000")
+)
+# byte budget for one kernel invocation's decoded-block cache (per shard
+# group, per query batch). Without a bound, a batch whose term union touches
+# most of the vocabulary asymptotically holds the shard's whole decompressed
+# posting set in Python memory; eviction only costs a re-decode, so results
+# are identical at any budget.
+DECODE_CACHE_BYTES = int(
+    os.environ.get("SPLADE_DECODE_CACHE_BYTES", str(1 << 30))
+)
+
+
+class _BlockCache:
+    """Byte-budgeted LRU for decoded (term_id, block) → (docs, qweights).
+
+    Shared by every query of a batch within one shard group so head-term
+    blocks decode once per batch, but bounded: when the budget is
+    exceeded the least-recently-used entries are dropped and a later
+    touch simply re-decodes — correctness is unaffected by construction.
+    budget=None disables eviction (the pre-round-6 unbounded behavior,
+    used by the in-process kernel tests)."""
+
+    __slots__ = ("budget", "nbytes", "data")
+
+    def __init__(self, budget: int | None = DECODE_CACHE_BYTES):
+        self.budget = budget
+        self.nbytes = 0
+        self.data: OrderedDict = OrderedDict()
+
+    def get(self, key):
+        blk = self.data.get(key)
+        if blk is not None:
+            self.data.move_to_end(key)
+        return blk
+
+    def put(self, key, blk) -> None:
+        self.data[key] = blk
+        if self.budget is None:
+            return
+        self.nbytes += blk[0].nbytes + blk[1].nbytes
+        while self.nbytes > self.budget and len(self.data) > 1:
+            _, old = self.data.popitem(last=False)
+            self.nbytes -= old[0].nbytes + old[1].nbytes
 
 
 def _topk_merge(
@@ -63,9 +114,9 @@ def _score_query_in_shard(
     term present in this shard; block_rows[j] = (first, n, doc_bytes,
     w_bytes). Returns (doc_ids, int_scores) of the shard-local top-k.
 
-    decoded: optional shared (term_id, block_idx) → (docs, qweights) cache —
-    pass one per shard per query batch so head-term blocks decode once for
-    the whole batch instead of once per query."""
+    decoded: optional shared _BlockCache — pass one per shard per query
+    batch so head-term blocks decode once for the whole batch instead of
+    once per query (byte-budgeted LRU; an evicted block re-decodes)."""
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
 
@@ -93,7 +144,7 @@ def _score_query_in_shard(
     top_scores = np.empty(0, dtype=np.int64)
     theta = theta0
     if decoded is None:
-        decoded = {}
+        decoded = _BlockCache()
 
     # geometric chunk growth: small first rounds establish θ fast (pruning
     # re-filters on the CURRENT θ each round, so early small chunks avoid
@@ -151,7 +202,7 @@ def _score_query_in_shard(
                     # integer domain, so one parse per block, no float
                     # divide ever
                     blk = decode_block_raw(first, n, dbytes, wbytes, bits, codec)
-                    decoded[key] = blk
+                    decoded.put(key, blk)
                 ds.append(blk[0])
                 qs.append(blk[1])
             d = np.concatenate(ds)
@@ -217,6 +268,7 @@ def retrieve(
     codec: str = "varint",
     merge: str = "window",
     prepartitioned: bool = False,
+    force_driver_merge: bool = False,
 ) -> DataFrame:
     """Top-k BM25 over a block-compressed sharded index.
 
@@ -238,7 +290,9 @@ def retrieve(
     results by construction: both orders are (score_int desc, doc_id asc)
     over the same shard-local integer scores. 'auto' picks driver when the
     collected row bound n_queries × k × num_shards stays under
-    DRIVER_MERGE_MAX_ROWS (~100 MB of (str, i64, i64) tuples) — the bound
+    DRIVER_MERGE_MAX_ROWS (default 400k — the measured crossover where
+    collect + re-upload starts losing to the window merge, and a serial
+    driver-side cost no executor count amortizes) — the bound
     must cap that product, not the query count alone: 1000 queries × k=100
     × 4096 shards would be 410M driver rows.
 
@@ -265,6 +319,18 @@ def retrieve(
         else:
             bound = qpdf["query_id"].nunique() * k * num_shards
             merge = "driver" if bound <= DRIVER_MERGE_MAX_ROWS else "window"
+    elif merge == "driver" and not force_driver_merge and num_shards is not None:
+        # an explicit driver merge must honor the same collect bound the
+        # auto mode enforces: n_queries × k × num_shards rows land on the
+        # driver, and a huge batch forced down this path OOMs it. Callers
+        # who have sized their driver can pass force_driver_merge=True.
+        bound = qpdf["query_id"].nunique() * k * num_shards
+        if bound > DRIVER_MERGE_MAX_ROWS:
+            raise ValueError(
+                f"merge='driver' would collect up to {bound} rows "
+                f"(> DRIVER_MERGE_MAX_ROWS={DRIVER_MERGE_MAX_ROWS}); use "
+                "merge='window'/'auto' or pass force_driver_merge=True"
+            )
     bq = spark.sparkContext.broadcast(
         [
             (qid, list(zip(g["term_id"].tolist(), g["qtf"].tolist())))
@@ -329,7 +395,8 @@ def retrieve(
                     bm_all[a:b],
                     list(zip(fd_all[a:b], n_all[a:b], db_all[a:b], wb_all[a:b])),
                 )
-            shard_cache: dict = {}  # (term_id, block) decode shared by the batch
+            # (term_id, block) decode shared by the batch — LRU, byte-capped
+            shard_cache = _BlockCache()
             for qid, qterms in bq.value:
                 terms = [
                     (int(t), int(qtf), *by_term[int(t)])
@@ -371,27 +438,34 @@ def retrieve(
         # cleaner happens to run. (The lazy window path below cannot do
         # this: its job runs after retrieve() returns.)
         bq.unpersist(blocking=False)
-        parts = []
-        for qid, g in pdf.groupby("query_id", sort=False):
-            docs = g["doc_id"].to_numpy(np.int64)
-            scores = g["score_int"].to_numpy(np.int64)
-            docs, scores = _topk_merge(docs, scores, k)
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "doc_id": docs,
-                        "score": scores / float(scale),
-                        "rank": np.arange(1, len(docs) + 1, dtype=np.int32),
-                    }
-                )
-            )
-        merged = (
-            pd.concat(parts, ignore_index=True)
-            if parts
-            else pd.DataFrame(
+        if len(pdf) == 0:
+            merged = pd.DataFrame(
                 {"query_id": [], "doc_id": [], "score": [], "rank": []}
             )
+            return spark.createDataFrame(merged, schema=out_schema)
+        # one vectorized global merge instead of a per-query pandas groupby
+        # loop (5000-query batches spent ~as long in frame construction as
+        # in scoring): lexsort the whole collect by (group, score desc,
+        # doc asc) — identical order to _topk_merge per group — then keep
+        # the first k rows of each group by position.
+        qcodes, quniq = pd.factorize(pdf["query_id"], sort=False)
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        scores = pdf["score_int"].to_numpy(np.int64)
+        order = np.lexsort((docs, -scores, qcodes))
+        qs = qcodes[order]
+        group_starts = np.flatnonzero(
+            np.concatenate(([True], qs[1:] != qs[:-1]))
+        )
+        sizes = np.diff(np.concatenate((group_starts, [len(qs)])))
+        pos = np.arange(len(qs)) - np.repeat(group_starts, sizes)
+        keep = pos < k
+        merged = pd.DataFrame(
+            {
+                "query_id": quniq.to_numpy(dtype=object)[qs[keep]],
+                "doc_id": docs[order][keep],
+                "score": scores[order][keep] / float(scale),
+                "rank": (pos[keep] + 1).astype(np.int32),
+            }
         )
         return spark.createDataFrame(merged, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(

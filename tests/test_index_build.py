@@ -252,3 +252,34 @@ def test_driver_merge_equals_window_merge(spark, corpus, tmp_path):
         assert sorted(map(key, win.collect())) == sorted(map(key, big.collect()))
     finally:
         _wand.DRIVER_MERGE_MAX_ROWS = old
+
+
+def test_explicit_driver_merge_guarded(spark, corpus, tmp_path):
+    """merge='driver' honors the auto-mode collect bound: a batch whose
+    n_queries x k x num_shards exceeds DRIVER_MERGE_MAX_ROWS raises unless
+    force_driver_merge=True (VERDICT r05 #3); auto behavior unchanged."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from splade_spark.query import wand as wand_mod
+
+    _, w, scale = corpus
+    path = str(tmp_path / "idx_guard")
+    build_index(w, path, scale, num_shards=4)
+    postings = load_postings(spark, path).cache()
+    qt = pd.DataFrame(
+        {"query_id": ["q1", "q2"], "term_id": [1, 2], "qtf": [1, 1]}
+    )
+    old = wand_mod.DRIVER_MERGE_MAX_ROWS
+    wand_mod.DRIVER_MERGE_MAX_ROWS = 10  # 2 queries x 5 x 4 shards = 40 > 10
+    try:
+        with _pytest.raises(ValueError, match="DRIVER_MERGE_MAX_ROWS"):
+            retrieve(postings, qt, scale, k=5, num_shards=4, merge="driver")
+        # forced: allowed; auto: silently falls back to the window merge
+        retrieve(
+            postings, qt, scale, k=5, num_shards=4, merge="driver",
+            force_driver_merge=True,
+        ).count()
+        retrieve(postings, qt, scale, k=5, num_shards=4, merge="auto").count()
+    finally:
+        wand_mod.DRIVER_MERGE_MAX_ROWS = old

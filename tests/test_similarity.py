@@ -146,3 +146,35 @@ def test_near_dup_bucket_cap_preserves_small_bucket_semantics(spark):
         ).collect()
     }
     assert uncapped == capped and len(uncapped) > 0
+
+
+def test_kmeans_early_exit_identical():
+    """The stable-assignment early exit returns exactly the centroids the
+    fixed-iteration loop produced (an unchanged assignment recomputes the
+    same centroids, so later rounds are no-ops) — and on a well-separated
+    sample it converges in fewer than the 8 fixed rounds."""
+    import numpy as np
+
+    from splade_spark.pipeline.similarity import _kmeans, _normalize
+
+    rng = np.random.default_rng(3)
+    centers = _normalize(rng.standard_normal((4, 16)))
+    pts = np.repeat(centers, 50, axis=0) + 0.01 * rng.standard_normal((200, 16))
+    pts = _normalize(pts)
+
+    got = _kmeans(pts, 4, iters=8)
+
+    # reference: the pre-round-6 fixed-iteration loop
+    ref_rng = np.random.default_rng(42)
+    idx = ref_rng.choice(len(pts), size=4, replace=False)
+    cent = pts[idx].copy()
+    for _ in range(8):
+        assign = (pts @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = pts[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    assert np.array_equal(got, cent)

@@ -58,3 +58,46 @@ def test_wand_kernel_matches_brute_force(n_terms, k, theta0, rnd):
 def test_wand_kernel_empty():
     d, s = _score_query_in_shard([], 10, 0, prune=True)
     assert len(d) == 0 and len(s) == 0
+
+
+def test_decode_cache_eviction_identical():
+    """Results are identical with a byte-budgeted LRU forced to evict on
+    every block (budget ~one block) vs the unbounded cache — eviction only
+    costs a re-decode (VERDICT r05 #2)."""
+    from splade_spark.query.wand import _BlockCache
+
+    rnd = __import__("random").Random(7)
+    scale = 255.0 / 20.0
+    terms = []
+    for t in range(4):
+        docs = sorted(rnd.sample(range(0, 2000), 400))
+        weights = [rnd.uniform(0.01, 20.0) for _ in docs]
+        blocks = encode_blocks(
+            np.array(docs, dtype=np.int64), np.array(weights), scale,
+            block_size=16,
+        )
+        firsts = np.array([b[1] for b in blocks], dtype=np.int64)
+        lasts = np.array([b[2] for b in blocks], dtype=np.int64)
+        bmax = np.array([b[6] for b in blocks], dtype=np.int64)
+        rows = [(b[1], b[3], b[4], b[5]) for b in blocks]
+        terms.append((t, 2, firsts, lasts, bmax, rows))
+
+    unbounded = _BlockCache(budget=None)
+    tiny = _BlockCache(budget=1)  # evicts down to a single entry every put
+    d0, s0 = _score_query_in_shard(terms, 25, 0, prune=True, decoded=unbounded)
+    d1, s1 = _score_query_in_shard(terms, 25, 0, prune=True, decoded=tiny)
+    assert d0.tolist() == d1.tolist() and s0.tolist() == s1.tolist()
+    assert len(tiny.data) <= 1  # the budget actually forced eviction
+    assert len(unbounded.data) > 1
+
+
+def test_block_cache_budget_accounting():
+    from splade_spark.query.wand import _BlockCache
+
+    c = _BlockCache(budget=3 * 16 * 2 * 8)  # room for ~3 (16+16)-int64 blocks
+    blk = (np.arange(16, dtype=np.int64), np.arange(16, dtype=np.int64))
+    for i in range(10):
+        c.put(("t", i), blk)
+    assert len(c.data) == 3
+    assert c.get(("t", 9)) is not None  # most recent survives
+    assert c.get(("t", 0)) is None  # oldest evicted
