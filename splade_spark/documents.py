@@ -10,17 +10,14 @@ Scale notes (100 TB / 10^12 turns):
   and map-side combinable (collect_list of small structs).
 - Dense doc_id assignment avoids the single-partition `row_number() OVER
   (ORDER BY conv_id)` anti-pattern: we range-partition by conv_id, count
-  rows per partition (cheap second job over the shuffled data), broadcast
-  the cumulative offsets, and add offset + local position per partition —
-  the classic distributed zipWithIndex, all in DataFrame ops + one
-  mapInPandas.
+  rows per partition (cheap second job over the shuffled data), fold the
+  cumulative offsets into a literal array, and add offset + local position
+  per partition — the classic distributed zipWithIndex, pure JVM codegen
+  (monotonically_increasing_id supplies the local position).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,26 +67,26 @@ def assign_doc_ids(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    boffsets = spark.sparkContext.broadcast(offsets)
 
-    cols = [c for c in docs.columns]
-
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pos = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            base = boffsets.value.get(pid, 0)
-            out = pdf.copy()
-            out["doc_id"] = range(base + pos, base + pos + len(pdf))
-            pos += len(pdf)
-            yield out[["doc_id"] + cols]
-
-    schema = "doc_id long, " + ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    # id attachment is pure JVM codegen: monotonically_increasing_id() is
+    # (partition_id << 33) | local_row_number with rows numbered in flow
+    # order — i.e. the sortWithinPartitions(conv_id) order, read stably
+    # from the cache — so offset[pid] + (mid & (2^33-1)) is exactly the
+    # dense ascending-conv_id id. The previous mapInPandas pass shipped
+    # every consumer's full text through the Python workers ON EVERY
+    # downstream evaluation of `docs` (tokenize, stats, ...) just to
+    # attach an integer (guide §4: eliminate the JVM↔Python boundary).
+    # Partitions are bounded at 2^33 rows by the id encoding — far above
+    # any sane partition sizing.
+    max_pid = max(offsets) if offsets else 0
+    off_arr = F.array(
+        *[F.lit(int(offsets.get(p, 0))) for p in range(max_pid + 1)]
     )
-    return with_pid.mapInPandas(add_ids, schema=schema)
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    doc_id = (
+        F.element_at(off_arr, F.col("_pid") + 1) + local
+    ).cast("long").alias("doc_id")
+    return with_pid.select(doc_id, *docs.columns)
 
 
 def build_documents(

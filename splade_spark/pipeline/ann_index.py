@@ -89,6 +89,30 @@ def _read_probed_partitions(
         names = os.listdir(path)
     except OSError:
         names = None
+
+    def _read(*paths, base=None):
+        if names is None:
+            r = spark.read
+            if base:
+                r = r.option("basePath", base)
+            return r.parquet(*paths)
+        # the root IS posix-listable, so file listing is cheap serial
+        # driver work — suppress Spark's distributed listing job (fires
+        # above parallelPartitionDiscovery.threshold=32 paths and costs
+        # ~2.5 s per call against ~0.2 s serial on a local FS; on object
+        # stores, where the job earns its keep, os.listdir fails above
+        # and this branch never runs). Conf restored immediately.
+        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "1000000")
+        try:
+            r = spark.read
+            if base:
+                r = r.option("basePath", base)
+            return r.parquet(*paths)  # listing happens eagerly here
+        finally:
+            spark.conf.set(key, old)
+
     probes = list(probes)
     if names is not None:
         pref = key_col + "="
@@ -103,17 +127,33 @@ def _read_probed_partitions(
         if not hits:
             return spark.createDataFrame([], empty_schema)
         if len(hits) <= max(64, len(existing) // 2):
-            return spark.read.option("basePath", path).parquet(
-                *[os.path.join(path, nm) for nm in hits]
+            return _read(
+                *[os.path.join(path, nm) for nm in hits], base=path
             )
-    idx = spark.read.parquet(path)
+    idx = _read(path)
     if len(probes) <= 128:
         return idx.filter(F.col(key_col).isin(probes))
-    pr = spark.createDataFrame([(int(b),) for b in probes], f"_probe long")
+    pr = spark.createDataFrame([(int(b),) for b in probes], "_probe long")
     return idx.join(
         F.broadcast(pr),
         F.col(key_col).cast("long") == F.col("_probe"),
         "left_semi",
+    )
+
+
+def _partition_write_tasks(spark: SparkSession) -> int:
+    """Shuffle-partition count for the bucket/cell-partitioned index write.
+
+    One output file per populated bucket exists regardless; what the task
+    count sets is how many parquet writers open/commit CONCURRENTLY. The
+    default shuffle partitioning (cores*2 here) left each task serially
+    creating ~30 tiny per-bucket files — measured 14.3 s vs 5.7 s at 8x
+    parallelism for the same 2k-file layout. Derived from the session's
+    parallelism, not a constant, so cluster deployments scale it with
+    executor count."""
+    return max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        8 * spark.sparkContext.defaultParallelism,
     )
 
 
@@ -189,7 +229,7 @@ def build_lsh_index(
     # one shuffle by the partition key → each bucket directory written by
     # exactly one task (no small-file explosion at high partition counts)
     (
-        rows.repartition("bucket")
+        rows.repartition(_partition_write_tasks(embeddings.sparkSession), "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
@@ -319,7 +359,7 @@ def append_lsh_index(embeddings: DataFrame, path: str) -> dict:
         meta["id_col"], meta["vec_col"],
     )
     (
-        rows.repartition("bucket")
+        rows.repartition(_partition_write_tasks(embeddings.sparkSession), "bucket")
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(path)
@@ -362,7 +402,7 @@ def append_ivf_index(embeddings: DataFrame, path: str) -> dict:
         assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
     )
     (
-        rows.repartition("cell")
+        rows.repartition(_partition_write_tasks(embeddings.sparkSession), "cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
@@ -411,7 +451,7 @@ def build_ivf_index(
         assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
     )
     (
-        rows.repartition("cell")
+        rows.repartition(_partition_write_tasks(embeddings.sparkSession), "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

@@ -318,12 +318,19 @@ def minhash_lsh_candidates(
     bands: int = 16,
     id_col: str = "doc_id",
     hash_buckets: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b): pairs sharing at least one LSH band bucket.
 
     hash_buckets=True folds each band's value string through xxhash64 so
     the equi-join key is 8 bytes; False joins on the raw comma-joined
-    string (wider keys, but exactly reproducible in ANSI SQL)."""
+    string (wider keys, but exactly reproducible in ANSI SQL).
+
+    cache_registry: the banded frame is cached — both sides of the bucket
+    self-join consume it, and without the cache the band
+    slice/stringify/hash explode runs twice, once per join side (same
+    double-compute as simhash_near_dup_pairs; pass a list to receive the
+    cached frame for unpersist-after-consume)."""
     sig_len = F.size("sig")
     rows_per_band = (sig_len / bands).cast("int")
 
@@ -345,7 +352,9 @@ def minhash_lsh_candidates(
                 lambda b: F.struct(b.alias("band"), _bucket(b).alias("bucket")),
             )
         ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")).cache()
+    if cache_registry is not None:
+        cache_registry.append(banded)
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -384,7 +393,10 @@ def minhash_dedup_pairs(
     ).cache()
     if cache_registry is not None:
         cache_registry.append(sigs)
-    cands = minhash_lsh_candidates(sigs, bands, id_col, hash_buckets=hash_buckets)
+    cands = minhash_lsh_candidates(
+        sigs, bands, id_col, hash_buckets=hash_buckets,
+        cache_registry=cache_registry,
+    )
     # cheap signature-level Jaccard estimate prunes most candidates before
     # the exact shingle-join verify (estimate is unbiased with sd
     # ~= sqrt(j(1-j)/num_hashes); the 0.2 slack keeps recall of true
