@@ -101,23 +101,46 @@ def build_postings(
     """
 
     def encode_partition(batches):
+        """Arrow-native partition encoder: the int64/float64 input columns
+        come out of the Arrow buffers as numpy views (one combine_chunks
+        materialization, no pandas frame construction), and the encoded
+        blocks go back as ONE RecordBatch built straight from the numpy
+        outputs of encode_groups — the pandas round trip this replaces
+        copied every input column twice per partition (guide §4.2: hand
+        whole batches to vectorized native code)."""
         import numpy as np
+        import pyarrow as pa
 
-        parts = [pdf for pdf in batches if len(pdf)]
-        if not parts:
+        chunks = [rb for rb in batches if rb.num_rows]
+        if not chunks:
             return
-        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        s = pdf["shard_id"].to_numpy()
-        t = pdf["term_id"].to_numpy()
-        d = pdf["doc_id"].to_numpy()
-        w = pdf["weight"].to_numpy()
+        tbl = pa.Table.from_batches(chunks).combine_chunks()
+        s = tbl.column("shard_id").to_numpy()
+        t = tbl.column("term_id").to_numpy()
+        d = tbl.column("doc_id").to_numpy()
+        w = tbl.column("weight").to_numpy()
         o = np.lexsort((d, t, s))  # stable; (shard,term,doc) keys are unique
-        yield pd.DataFrame(
-            encode_groups(
-                s[o], t[o], d[o], w[o], scale,
-                block_size=block_size, bits=bits, codec=codec,
-                prequantized=prequantize,
-            )
+        g = encode_groups(
+            s[o], t[o], d[o], w[o], scale,
+            block_size=block_size, bits=bits, codec=codec,
+            prequantized=prequantize,
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(g["shard_id"], type=pa.int32()),
+                pa.array(g["term_id"], type=pa.int64()),
+                pa.array(g["block_id"], type=pa.int32()),
+                pa.array(g["first_doc"], type=pa.int64()),
+                pa.array(g["last_doc"], type=pa.int64()),
+                pa.array(g["n"], type=pa.int32()),
+                pa.array(g["doc_bytes"], type=pa.binary()),
+                pa.array(g["w_bytes"], type=pa.binary()),
+                pa.array(g["block_max"], type=pa.int32()),
+            ],
+            names=[
+                "shard_id", "term_id", "block_id", "first_doc", "last_doc",
+                "n", "doc_bytes", "w_bytes", "block_max",
+            ],
         )
 
     def encode_stream(batches):
@@ -186,7 +209,9 @@ def build_postings(
     )
     if local_sort:
         arranged = sharded.repartition(n_part, "shard_id", "term_id")
-        return arranged.mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
+        return arranged.select(
+            "shard_id", "term_id", "doc_id", "weight"
+        ).mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
     arranged = sharded.repartition(n_part, "shard_id", "term_id").sortWithinPartitions(
         "shard_id", "term_id", "doc_id"
     )

@@ -317,16 +317,18 @@ def encode_groups(
     w_bytes = [wbuf[blk_start[b] * isz : blk_end[b] * isz] for b in range(nb)]
     block_max = np.maximum.reduceat(q, blk_start).astype(np.int32)
 
+    # numeric fields stay numpy (no per-element .tolist() boxing): both the
+    # pandas and the Arrow encode sinks consume arrays directly
     return {
-        "shard_id": shard[blk_start].tolist(),
-        "term_id": term[blk_start].tolist(),
-        "block_id": (pos[blk_start] // block_size).astype(np.int32).tolist(),
-        "first_doc": doc[blk_start].tolist(),
-        "last_doc": doc[blk_end - 1].tolist(),
-        "n": blk_n.astype(np.int32).tolist(),
+        "shard_id": np.asarray(shard)[blk_start].astype(np.int32),
+        "term_id": np.asarray(term)[blk_start].astype(np.int64),
+        "block_id": (pos[blk_start] // block_size).astype(np.int32),
+        "first_doc": doc[blk_start],
+        "last_doc": doc[blk_end - 1],
+        "n": blk_n.astype(np.int32),
         "doc_bytes": doc_bytes,
         "w_bytes": w_bytes,
-        "block_max": block_max.tolist(),
+        "block_max": block_max,
     }
 
 
