@@ -106,6 +106,84 @@ def write_plans(spark, sf_dir, tag, names):
         print("wrote", name, tag, flush=True)
 
 
+def _explain_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def write_engine_plans(spark, sf_dir, tag, cpus, outdir="plans/r06"):
+    """Capture .explain('formatted') for the engine paths bench.py times
+    (build encode, retrieve window path, segment merge re-encode, served
+    ANN probe) — these are not queries() entries, so the suite plan
+    capture misses them."""
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    from splade_spark.bm25 import bm25_weights, quantization_scale
+    from splade_spark.documents import build_documents
+    from splade_spark.fixtures import queries_df, transcripts
+    from splade_spark.index.build import build_index, build_postings, load_postings
+    from splade_spark.index.merge import merge_postings
+    from splade_spark.query.wand import retrieve
+    from splade_spark.stats import corpus_stats_from_docs
+    from splade_spark.tokenize import query_term_freqs, term_freqs
+    from splade_spark.pipeline.ann_index import build_lsh_index, lsh_topk_from_index
+
+    os.makedirs(outdir, exist_ok=True)
+    tdir = tempfile.mkdtemp(prefix="splade_bx_p_")
+    try:
+        transcripts(spark, 800).write.mode("overwrite").parquet(tdir + "/head")
+        docs = build_documents(spark.read.parquet(tdir + "/head"))
+        tf = term_freqs(docs).cache()
+        n, avgdl = corpus_stats_from_docs(docs)
+        w = bm25_weights(tf, n, avgdl).select("doc_id", "term_id", "weight").cache()
+        w.count()
+        scale = quantization_scale(w)
+        num_shards = max(cpus, 16)
+        plans = {}
+        plans["index_encode"] = _explain_str(
+            build_postings(w, scale, num_shards=num_shards)
+        )
+        build_index(w, tdir + "/a", scale, num_shards=num_shards, resume=False)
+        build_index(w.withColumn("doc_id", F.col("doc_id") + 10_000_000),
+                    tdir + "/b", scale, num_shards=num_shards, resume=False)
+        segs = [load_postings(spark, tdir + "/a"), load_postings(spark, tdir + "/b")]
+        plans["segment_merge"] = _explain_str(
+            merge_postings(segs, scale, bits=8, codec="varint")
+        )
+        postings = load_postings(spark, tdir + "/a").cache()
+        postings.count()
+        qt = (
+            query_term_freqs(queries_df(spark, 25))
+            .select("query_id", "term_id", "qtf").toPandas()
+        )
+        plans["bm25_retrieve_window"] = _explain_str(
+            retrieve(postings, qt, scale, k=10, num_shards=num_shards,
+                     merge="window")
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        build_lsh_index(emb, tdir + "/lsh", nbits=12)
+        qv = _pd.DataFrame(
+            {
+                "query_id": ["q0", "q1"],
+                "embedding": [
+                    r["embedding"] for r in emb.limit(2).collect()
+                ],
+            }
+        )
+        plans["ann_lsh_served"] = _explain_str(
+            lsh_topk_from_index(spark, tdir + "/lsh", qv, k=10)
+        )
+        for name, p in plans.items():
+            with open(f"{outdir}/{name}_{tag}.txt", "w") as fh:
+                fh.write(p)
+            print("wrote", name, tag, flush=True)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
 def run_engine(spark, sf_dir, cpus):
     """Headline-shaped engine run: transcripts -> index -> query batches."""
     from pyspark.sql import functions as F
@@ -322,6 +400,10 @@ def main():
         tag = sys.argv[2]
         names = sys.argv[3:] or SUITE
         write_plans(spark, sf_dir, tag, names)
+    elif mode == "plans_engine":
+        tag = sys.argv[2]
+        outdir = sys.argv[3] if len(sys.argv) > 3 else "plans/r06"
+        write_engine_plans(spark, sf_dir, tag, cpus, outdir)
     elif mode == "engine":
         run_engine(spark, sf_dir, cpus)
     elif mode == "merge":
