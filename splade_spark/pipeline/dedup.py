@@ -318,7 +318,6 @@ def minhash_lsh_candidates(
     bands: int = 16,
     id_col: str = "doc_id",
     hash_buckets: bool = True,
-    cache_registry: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b): pairs sharing at least one LSH band bucket.
 
@@ -326,11 +325,10 @@ def minhash_lsh_candidates(
     the equi-join key is 8 bytes; False joins on the raw comma-joined
     string (wider keys, but exactly reproducible in ANSI SQL).
 
-    cache_registry: the banded frame is cached — both sides of the bucket
-    self-join consume it, and without the cache the band
-    slice/stringify/hash explode runs twice, once per join side (same
-    double-compute as simhash_near_dup_pairs; pass a list to receive the
-    cached frame for unpersist-after-consume)."""
+    (A banded-frame cache like simhash_near_dup_pairs' was measured here
+    and rejected: the banded frame is a cheap projection of the already-
+    cached signatures, and the cold/warm A/B was a wash — the cache only
+    pays when the recomputed subtree is expensive.)"""
     sig_len = F.size("sig")
     rows_per_band = (sig_len / bands).cast("int")
 
@@ -352,9 +350,7 @@ def minhash_lsh_candidates(
                 lambda b: F.struct(b.alias("band"), _bucket(b).alias("bucket")),
             )
         ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")).cache()
-    if cache_registry is not None:
-        cache_registry.append(banded)
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -393,10 +389,7 @@ def minhash_dedup_pairs(
     ).cache()
     if cache_registry is not None:
         cache_registry.append(sigs)
-    cands = minhash_lsh_candidates(
-        sigs, bands, id_col, hash_buckets=hash_buckets,
-        cache_registry=cache_registry,
-    )
+    cands = minhash_lsh_candidates(sigs, bands, id_col, hash_buckets=hash_buckets)
     # cheap signature-level Jaccard estimate prunes most candidates before
     # the exact shingle-join verify (estimate is unbiased with sd
     # ~= sqrt(j(1-j)/num_hashes); the 0.2 slack keeps recall of true

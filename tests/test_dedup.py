@@ -128,8 +128,8 @@ def test_dedup_cache_registry_unpersists_clean(spark, dup_corpus):
         ngram_jaccard_pairs(dup_corpus, n=3, tau=0.5, cache_registry=reg).collect()
         minhash_dedup_pairs(dup_corpus, n=3, tau=0.5, cache_registry=reg).collect()
         # jaccard: shingles + df-filtered join input; minhash: sigs +
-        # banded buckets + candidate pairs + shingles
-        assert len(reg) == 6
+        # candidate pairs + shingles
+        assert len(reg) == 5
         assert jsc.getPersistentRDDs().size() > before
     finally:
         for c in reg:
